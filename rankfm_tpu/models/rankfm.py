@@ -1,0 +1,546 @@
+"""RankFM — TPU-native Factorization Machines for implicit-feedback ranking.
+
+API-compatible re-design of the reference model class
+(`/root/reference/rankfm/rankfm.py:11-454`): same constructor hyperparameters,
+same six public methods (`fit`, `fit_partial`, `predict`, `recommend`,
+`similar_items`, `similar_users`), same ingestion/cold-start semantics and
+exception types — but the compute core is batched JAX/XLA running on TPU
+(see `rankfm_tpu.ops`) instead of a per-sample Cython loop, and the model
+additionally supports checkpointing (`save`/`load`) and sharded execution
+over a `jax.sharding.Mesh` (see `rankfm_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from rankfm_tpu.ops import scoring
+from rankfm_tpu.ops.training import make_epoch_fn
+from rankfm_tpu.ops.topk import topk_fn
+from rankfm_tpu.utils.data import (
+    build_index,
+    build_user_items_csr,
+    csr_to_dict,
+    get_data,
+    map_interactions,
+    merge_user_items_csr,
+    validate_features,
+)
+
+_RECOMMEND_CHUNK = 4096
+
+
+def _next_pow2(n):
+    return 1 << max(0, (int(n) - 1).bit_length())
+
+
+class RankFM:
+    """Factorization Machines for Ranking Problems with Implicit Feedback Data"""
+
+    def __init__(self, factors=10, loss='bpr', max_samples=10, alpha=0.01, beta=0.1,
+                 sigma=0.1, learning_rate=0.1, learning_schedule='constant',
+                 learning_exponent=0.25, *, batch_size=None, seed=1492,
+                 sample_rounds=8, mesh=None):
+        """store hyperparameters and initialize internal model state
+
+        :param factors: latent factor rank
+        :param loss: optimization/loss function to use for training: ['bpr', 'warp']
+        :param max_samples: maximum number of negative samples to draw for WARP loss
+        :param alpha: L2 regularization penalty on [user, item] model weights
+        :param beta: L2 regularization penalty on [user-feature, item-feature] model weights
+        :param sigma: standard deviation to use for random initialization of factor weights
+        :param learning_rate: initial learning rate for gradient step updates
+        :param learning_schedule: schedule for adjusting learning rates by training epoch: ['constant', 'invscaling']
+        :param learning_exponent: exponent applied to epoch number to adjust learning rate: scaling = 1 / pow(epoch + 1, learning_exponent)
+
+        TPU-specific (keyword-only) extras beyond the reference API:
+
+        :param batch_size: training minibatch size (None = auto, power of two <= 8192)
+        :param seed: base PRNG seed for negative sampling / epoch shuffling
+            (the reference hard-codes MT19937 seed 1492, `_rankfm.pyx:182`)
+        :param sample_rounds: rejection re-draw rounds for negative sampling
+        :param mesh: optional `jax.sharding.Mesh` with axes ('data', 'model')
+            for sharded tables/batches; None = single-device
+        """
+
+        # validate user input (messages match `rankfm.py:30-38`)
+        assert isinstance(factors, int) and factors >= 1, "[factors] must be a positive integer"
+        assert isinstance(loss, str) and loss in ('bpr', 'warp'), "[loss] must be in ('bpr', 'warp')"
+        assert isinstance(max_samples, int) and max_samples > 0, "[max_samples] must be a positive integer"
+        assert isinstance(alpha, float) and alpha > 0.0, "[alpha] must be a positive float"
+        assert isinstance(beta, float) and beta > 0.0, "[beta] must be a positive float"
+        assert isinstance(sigma, float) and sigma > 0.0, "[sigma] must be a positive float"
+        assert isinstance(learning_rate, float) and learning_rate > 0.0, "[learning_rate] must be a positive float"
+        assert isinstance(learning_schedule, str) and learning_schedule in ('constant', 'invscaling'), "[learning_schedule] must be in ('constant', 'invscaling')"
+        assert isinstance(learning_exponent, float) and learning_exponent > 0.0, "[learning_exponent] must be a positive float"
+
+        self.factors = factors
+        self.loss = loss
+        self.max_samples = max_samples
+        self.alpha = alpha
+        self.beta = beta
+        self.sigma = sigma
+        self.learning_rate = learning_rate
+        self.learning_schedule = learning_schedule
+        self.learning_exponent = learning_exponent
+
+        self.batch_size = batch_size
+        self.seed = seed
+        self.sample_rounds = sample_rounds
+        self.mesh = mesh
+
+        self._reset_state()
+
+    # --------------------------------
+    # private methods
+    # --------------------------------
+
+    def _reset_state(self):
+        """initialize or reset internal model state (`rankfm.py:60-97`)"""
+
+        self.user_id = None
+        self.item_id = None
+        self.user_idx = None
+        self.item_idx = None
+
+        self.index_to_user = None
+        self.index_to_item = None
+        self.user_to_index = None
+        self.item_to_index = None
+
+        self.interactions = None
+        self.sample_weight = None
+
+        # CSR user -> sorted distinct item history (device + host copies)
+        self._ui_offsets = None
+        self._ui_items = None
+
+        self.x_uf = None
+        self.x_if = None
+
+        # weights pytree on device: w_i, w_if, v_u, v_i, v_uf, v_if
+        self._weights = None
+        self._x_uf_dev = None
+        self._x_if_dev = None
+        self._offsets_dev = None
+        self._flat_items_dev = None
+
+        self._epoch_fn = None
+        self._epoch_fn_key = None
+        self._topk_fns = {}
+        self._score_fn = jax.jit(scoring.score_pairs)
+
+        self.is_fit = False
+
+    # -- weight views (reference exposes these as mutable numpy attrs) --
+
+    def _np_weight(self, name):
+        return None if self._weights is None else np.asarray(self._weights[name])
+
+    @property
+    def w_i(self):
+        return self._np_weight("w_i")
+
+    @property
+    def w_if(self):
+        return self._np_weight("w_if")
+
+    @property
+    def v_u(self):
+        return self._np_weight("v_u")
+
+    @property
+    def v_i(self):
+        return self._np_weight("v_i")
+
+    @property
+    def v_uf(self):
+        return self._np_weight("v_uf")
+
+    @property
+    def v_if(self):
+        return self._np_weight("v_if")
+
+    @property
+    def user_items(self):
+        """reference-compatible dict view of per-user item histories (`rankfm.py:174`)"""
+        if self._ui_offsets is None:
+            return None
+        return csr_to_dict(self._ui_offsets, self._ui_items)
+
+    def _init_all(self, interactions, user_features=None, item_features=None, sample_weight=None):
+        """index interactions/features and initialize weights (`rankfm.py:100-137`)"""
+
+        assert isinstance(interactions, (np.ndarray, pd.DataFrame)), "[interactions] must be np.ndarray or pd.dataframe"
+        assert interactions.shape[1] == 2, "[interactions] should be: [user_id, item_id]"
+
+        arr = get_data(interactions)
+        self.user_id, self.user_to_index = build_index(arr[:, 0])
+        self.item_id, self.item_to_index = build_index(arr[:, 1])
+        self.index_to_user = self.user_id
+        self.index_to_item = self.item_id
+        self.user_idx = np.arange(len(self.user_id), dtype=np.int32)
+        self.item_idx = np.arange(len(self.item_id), dtype=np.int32)
+
+        self._init_interactions(interactions, sample_weight)
+        self._init_features(user_features, item_features)
+        self._init_weights(user_features, item_features)
+
+    def _init_interactions(self, interactions, sample_weight):
+        """map new interactions to the existing internal indexes (`rankfm.py:140-177`)
+
+        Unknown (user, item) pairs are silently dropped; ``sample_weight`` rows
+        for dropped pairs are dropped with them.
+        """
+
+        assert isinstance(interactions, (np.ndarray, pd.DataFrame)), "[interactions] must be np.ndarray or pd.dataframe"
+        assert interactions.shape[1] == 2, "[interactions] should be: [user_id, item_id]"
+
+        pairs, keep = map_interactions(interactions, self.user_to_index, self.item_to_index)
+        self.interactions = pairs
+
+        if sample_weight is not None:
+            assert isinstance(sample_weight, (np.ndarray, pd.Series)), "[sample_weight] must be np.ndarray or pd.series"
+            assert sample_weight.ndim == 1, "[sample_weight] must a vector (ndim=1)"
+            assert len(sample_weight) == len(interactions), "[sample_weight] must have the same length as [interactions]"
+            self.sample_weight = np.ascontiguousarray(get_data(sample_weight)[keep], dtype=np.float32)
+        else:
+            self.sample_weight = np.ones(len(self.interactions), dtype=np.float32)
+
+        offsets, items = build_user_items_csr(pairs, len(self.user_idx))
+        if self.is_fit:
+            # fit_partial: union with the previously observed histories (`rankfm.py:170-172`)
+            offsets, items = merge_user_items_csr(
+                self._ui_offsets, self._ui_items, offsets, items, len(self.user_idx)
+            )
+        self._ui_offsets, self._ui_items = offsets, items
+        self._offsets_dev = jnp.asarray(offsets)
+        self._flat_items_dev = jnp.asarray(items)
+
+    def _init_features(self, user_features=None, item_features=None):
+        """store user/item feature matrices row-ordered by index (`rankfm.py:181-211`)"""
+
+        if user_features is not None:
+            self.x_uf = validate_features(user_features, self.user_to_index, self.user_idx, "user")
+        else:
+            self.x_uf = np.zeros([len(self.user_idx), 1], dtype=np.float32)
+
+        if item_features is not None:
+            self.x_if = validate_features(item_features, self.item_to_index, self.item_idx, "item")
+        else:
+            self.x_if = np.zeros([len(self.item_idx), 1], dtype=np.float32)
+
+        self._x_uf_dev = jnp.asarray(self.x_uf)
+        self._x_if_dev = jnp.asarray(self.x_if)
+
+    def _init_weights(self, user_features=None, item_features=None):
+        """initialize model weights (`rankfm.py:214-244`): biases zero, factors
+        ~ N(0, sigma), feature factors ~ N(0, (alpha/beta)*sigma) when features
+        are supplied else zero"""
+
+        U, I, F = len(self.user_idx), len(self.item_idx), self.factors
+        P, Q = self.x_uf.shape[1], self.x_if.shape[1]
+
+        w_i = np.zeros(I, dtype=np.float32)
+        w_if = np.zeros(Q, dtype=np.float32)
+        v_u = np.random.normal(0, self.sigma, (U, F)).astype(np.float32)
+        v_i = np.random.normal(0, self.sigma, (I, F)).astype(np.float32)
+
+        feat_scale = (self.alpha / self.beta) * self.sigma
+        if user_features is not None:
+            v_uf = np.random.normal(0, feat_scale, (P, F)).astype(np.float32)
+        else:
+            v_uf = np.zeros((P, F), dtype=np.float32)
+        if item_features is not None:
+            v_if = np.random.normal(0, feat_scale, (Q, F)).astype(np.float32)
+        else:
+            v_if = np.zeros((Q, F), dtype=np.float32)
+
+        self._weights = {
+            "w_i": jnp.asarray(w_i), "w_if": jnp.asarray(w_if),
+            "v_u": jnp.asarray(v_u), "v_i": jnp.asarray(v_i),
+            "v_uf": jnp.asarray(v_uf), "v_if": jnp.asarray(v_if),
+        }
+
+    def _auto_batch_size(self, n):
+        if self.batch_size is not None:
+            return self.batch_size
+        return min(8192, _next_pow2(max(n, 1)))
+
+    def _assert_finite(self):
+        """per-fit divergence guard (`_rankfm.pyx:95-103, 328-329`)"""
+        names = {
+            "w_i": "item weights [w_i]",
+            "w_if": "item feature weights [w_if]",
+            "v_u": "user factors [v_u]",
+            "v_i": "item factors [v_i]",
+            "v_uf": "user-feature factors [v_uf]",
+            "v_if": "item-feature factors [v_if]",
+        }
+        for k, label in names.items():
+            assert np.isfinite(np.sum(np.asarray(self._weights[k]))), \
+                f"{label} are not finite - try decreasing feature/sample_weight magnitudes"
+
+    def _reg_penalty(self):
+        """total L2 penalty over all weights (`_rankfm.pyx:106-116`)"""
+        w = self._weights
+        pen = 0.0
+        for k in ("w_i", "v_u", "v_i"):
+            pen += self.alpha * float(jnp.sum(jnp.square(w[k])))
+        for k in ("w_if", "v_uf", "v_if"):
+            pen += self.beta * float(jnp.sum(jnp.square(w[k])))
+        return pen
+
+    # --------------------------------
+    # public methods
+    # --------------------------------
+
+    def fit(self, interactions, user_features=None, item_features=None,
+            sample_weight=None, epochs=1, verbose=False):
+        """clear previous model state and learn new model weights using the input data
+
+        :param interactions: dataframe of observed user/item interactions: [user_id, item_id]
+        :param user_features: dataframe of user metadata features: [user_id, uf_1, ..., uf_n]
+        :param item_features: dataframe of item metadata features: [item_id, if_1, ..., if_n]
+        :param sample_weight: vector of importance weights for each observed interaction
+        :param epochs: number of training epochs (full passes through observed interactions)
+        :param verbose: whether to print epoch number and log-likelihood during training
+        :return: self
+        """
+        self._reset_state()
+        self.fit_partial(interactions, user_features, item_features, sample_weight, epochs, verbose)
+        return self
+
+    def fit_partial(self, interactions, user_features=None, item_features=None,
+                    sample_weight=None, epochs=1, verbose=False):
+        """learn or update model weights resuming from the current state (`rankfm.py:269-327`)"""
+
+        assert isinstance(epochs, int) and epochs >= 1, "[epochs] must be a positive integer"
+        assert isinstance(verbose, bool), "[verbose] must be a boolean value"
+
+        if self.is_fit:
+            self._init_interactions(interactions, sample_weight)
+            self._init_features(user_features, item_features)
+        else:
+            self._init_all(interactions, user_features, item_features, sample_weight)
+
+        if self.loss == 'bpr':
+            max_samples = 1
+        elif self.loss == 'warp':
+            max_samples = self.max_samples
+        else:
+            raise ValueError('[loss] function not recognized')
+
+        n = len(self.interactions)
+        num_items = len(self.item_idx)
+        bs = self._auto_batch_size(n)
+        n_pad = max(1, math.ceil(n / bs)) * bs
+
+        x_uf_any = bool(self.x_uf.any())
+        x_if_any = bool(self.x_if.any())
+
+        # pad interaction columns to a whole number of batches
+        u = np.zeros(n_pad, dtype=np.int32)
+        i = np.zeros(n_pad, dtype=np.int32)
+        sw = np.zeros(n_pad, dtype=np.float32)
+        u[:n] = self.interactions[:, 0]
+        i[:n] = self.interactions[:, 1]
+        sw[:n] = self.sample_weight
+
+        fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs, n_pad,
+                  tuple(v.shape for v in self._weights.values()))
+        if self._epoch_fn is None or self._epoch_fn_key != fn_key:
+            self._epoch_fn = make_epoch_fn(
+                num_items, max_samples, x_uf_any, x_if_any, bs,
+                sample_rounds=self.sample_rounds,
+            )
+            self._epoch_fn_key = fn_key
+
+        u_dev, i_dev, sw_dev = jnp.asarray(u), jnp.asarray(i), jnp.asarray(sw)
+        base_key = jax.random.PRNGKey(self.seed)
+
+        w = self._weights
+        for epoch in range(epochs):
+            if self.learning_schedule == 'constant':
+                eta = self.learning_rate
+            else:  # invscaling (validated in ctor)
+                eta = self.learning_rate / (epoch + 1) ** self.learning_exponent
+
+            w, ll = self._epoch_fn(
+                w, self._x_uf_dev, self._x_if_dev,
+                self._offsets_dev, self._flat_items_dev,
+                u_dev, i_dev, sw_dev, n,
+                jnp.float32(eta), jnp.float32(self.alpha), jnp.float32(self.beta),
+                jax.random.fold_in(base_key, epoch),
+            )
+            self._weights = w
+            self._assert_finite()
+            if verbose:
+                penalty = self._reg_penalty()
+                print("\ntraining epoch:", epoch)
+                print("log likelihood:", round(float(ll) - penalty, 2))
+
+        self.is_fit = True
+        return self
+
+    def predict(self, pairs, cold_start='nan'):
+        """calculate the predicted pointwise utilities for all (user, item) pairs
+
+        :param pairs: dataframe of [user, item] pairs to score
+        :param cold_start: 'nan' to emit NaN for unseen users/items, 'drop' to remove them
+        :return: np.array of real-valued model scores (float32)
+        """
+        assert isinstance(pairs, (np.ndarray, pd.DataFrame)), "[pairs] must be np.ndarray or pd.dataframe"
+        assert pairs.shape[1] == 2, "[pairs] should be: [user_id, item_id]"
+        assert self.is_fit, "you must fit the model prior to generating predictions"
+
+        arr = get_data(pairs)
+        u = pd.Series(arr[:, 0]).map(self.user_to_index).values.astype(np.float64)
+        i = pd.Series(arr[:, 1]).map(self.item_to_index).values.astype(np.float64)
+        known = ~(np.isnan(u) | np.isnan(i))
+
+        n = len(arr)
+        n_pad = _next_pow2(max(n, 1))
+        u_idx = np.zeros(n_pad, dtype=np.int32)
+        i_idx = np.zeros(n_pad, dtype=np.int32)
+        u_idx[:n] = np.where(known, u, 0).astype(np.int32)
+        i_idx[:n] = np.where(known, i, 0).astype(np.int32)
+
+        scores = np.asarray(self._score_fn(
+            self._weights, self._x_uf_dev, self._x_if_dev,
+            jnp.asarray(u_idx), jnp.asarray(i_idx),
+        ))[:n].astype(np.float32)
+        scores = np.where(known, scores, np.nan).astype(np.float32)
+
+        if cold_start == 'nan':
+            return scores
+        elif cold_start == 'drop':
+            return scores[~np.isnan(scores)]
+        else:
+            raise ValueError("param [cold_start] must be set to either 'nan' or 'drop'")
+
+    def _seen_pairs_for(self, user_idx_batch):
+        """host-side (row, col) pairs of previously seen items for a user batch"""
+        starts = self._ui_offsets[user_idx_batch].astype(np.int64)
+        ends = self._ui_offsets[user_idx_batch + 1].astype(np.int64)
+        lens = ends - starts
+        total = int(lens.sum())
+        if total == 0:
+            return np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int32)
+        rows = np.repeat(np.arange(len(user_idx_batch), dtype=np.int32), lens)
+        seg_start = np.repeat(starts, lens)
+        cum = np.repeat(np.cumsum(lens) - lens, lens)
+        cols = self._ui_items[seg_start + (np.arange(total) - cum)]
+        return rows, cols.astype(np.int32)
+
+    def recommend(self, users, n_items=10, filter_previous=False, cold_start='nan'):
+        """calculate the topN items for each user
+
+        :param users: iterable of user identifiers for which to generate recommendations
+        :param n_items: number of recommended items to generate for each user
+        :param filter_previous: remove observed training items from generated recommendations
+        :param cold_start: 'nan' to emit NaN rows for unseen users, 'drop' to remove them
+        :return: pandas dataframe indexed by user id with recommended items as columns
+        """
+        assert getattr(users, '__iter__', False), "[users] must be an iterable (e.g. list, array, series)"
+        assert self.is_fit, "you must fit the model prior to generating recommendations"
+
+        user_idx = pd.Series(users).map(self.user_to_index).values.astype(np.float64)
+        known = ~np.isnan(user_idx)
+        known_idx = user_idx[known].astype(np.int32)
+
+        if n_items not in self._topk_fns:
+            self._topk_fns[n_items] = topk_fn(n_items)
+        fn = self._topk_fns[n_items]
+
+        out = np.full((len(user_idx), n_items), np.nan, dtype=np.float64)
+        if len(known_idx):
+            chunks = []
+            for s in range(0, len(known_idx), _RECOMMEND_CHUNK):
+                batch = known_idx[s:s + _RECOMMEND_CHUNK]
+                bsz = len(batch)
+                pad = np.zeros(_RECOMMEND_CHUNK, dtype=np.int32)
+                pad[:bsz] = batch
+                if filter_previous:
+                    rows, cols = self._seen_pairs_for(batch)
+                    cap = _next_pow2(max(len(rows), 1))
+                    rows_p = np.full(cap, -1, dtype=np.int32)
+                    cols_p = np.zeros(cap, dtype=np.int32)
+                    rows_p[:len(rows)] = rows
+                    cols_p[:len(cols)] = cols
+                else:
+                    rows_p = np.zeros(0, dtype=np.int32)
+                    cols_p = np.zeros(0, dtype=np.int32)
+                top_items, _ = fn(
+                    self._weights, self._x_uf_dev, self._x_if_dev,
+                    jnp.asarray(pad), jnp.asarray(rows_p), jnp.asarray(cols_p),
+                )
+                chunks.append(np.asarray(top_items)[:bsz])
+            out[known] = np.concatenate(chunks, axis=0)
+
+        rec_items = pd.DataFrame(out, index=pd.Index(np.asarray(users)))
+        rec_items = rec_items.apply(lambda c: c.map(self.index_to_item))
+
+        if cold_start == 'nan':
+            return rec_items
+        elif cold_start == 'drop':
+            return rec_items.dropna(how='any')
+        else:
+            raise ValueError("param [cold_start] must be set to either 'nan' or 'drop'")
+
+    def similar_items(self, item_id, n_items=10):
+        """find the most similar items wrt latent factor space representation (`rankfm.py:405-428`)
+
+        :param item_id: item to search
+        :param n_items: number of similar items to return
+        :return: np.array of topN most similar items
+        """
+        assert item_id in self.item_id.values, "you must select an [item_id] present in the training data"
+        assert self.is_fit, "you must fit the model prior to generating similarities"
+
+        item_idx = int(self.item_to_index.loc[item_id])
+        v_i, v_if = self.v_i, self.v_if
+        lr_item = v_i[item_idx] + np.dot(v_if.T, self.x_if[item_idx])
+        lr_all_items = v_i + np.dot(self.x_if, v_if)
+
+        sims = pd.Series(np.dot(lr_all_items, lr_item)).drop(item_idx).sort_values(ascending=False)[:n_items]
+        return pd.Series(sims.index).map(self.index_to_item).values
+
+    def similar_users(self, user_id, n_users=10):
+        """find the most similar users wrt latent factor space representation (`rankfm.py:431-454`)
+
+        :param user_id: user to search
+        :param n_users: number of similar users to return
+        :return: np.array of topN most similar users
+        """
+        assert user_id in self.user_id.values, "you must select an [user_id] present in the training data"
+        assert self.is_fit, "you must fit the model prior to generating similarities"
+
+        user_idx = int(self.user_to_index.loc[user_id])
+        v_u, v_uf = self.v_u, self.v_uf
+        lr_user = v_u[user_idx] + np.dot(v_uf.T, self.x_uf[user_idx])
+        lr_all_users = v_u + np.dot(self.x_uf, v_uf)
+
+        sims = pd.Series(np.dot(lr_all_users, lr_user)).drop(user_idx).sort_values(ascending=False)[:n_users]
+        return pd.Series(sims.index).map(self.index_to_user).values
+
+    # --------------------------------
+    # checkpointing (new capability; the reference has no save/load)
+    # --------------------------------
+
+    def save(self, path):
+        """serialize the fitted model (weights + id maps + config) to ``path``"""
+        from rankfm_tpu.utils.checkpoint import save_model
+        save_model(self, path)
+
+    @classmethod
+    def load(cls, path):
+        """restore a model saved with :meth:`save`"""
+        from rankfm_tpu.utils.checkpoint import load_model
+        return load_model(cls, path)

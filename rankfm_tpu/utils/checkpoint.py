@@ -1,0 +1,69 @@
+"""Model checkpointing — a capability the reference lacks entirely
+(SURVEY.md §5: "no model save/load at all"). Serializes the weight pytree,
+feature matrices, id maps, interaction history CSR, and hyperparameters to a
+single ``.npz`` so a fitted model can be restored (and `fit_partial` resumed)
+in a fresh process.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import jax.numpy as jnp
+
+_WEIGHT_KEYS = ("w_i", "w_if", "v_u", "v_i", "v_uf", "v_if")
+_HYPERS = ("factors", "loss", "max_samples", "alpha", "beta", "sigma",
+           "learning_rate", "learning_schedule", "learning_exponent",
+           "batch_size", "seed", "sample_rounds")
+
+
+def save_model(model, path):
+    assert model.is_fit, "you must fit the model prior to saving it"
+    payload = {f"weights/{k}": np.asarray(model._weights[k]) for k in _WEIGHT_KEYS}
+    payload["x_uf"] = model.x_uf
+    payload["x_if"] = model.x_if
+    payload["user_id"] = model.user_id.values
+    payload["item_id"] = model.item_id.values
+    payload["ui_offsets"] = model._ui_offsets
+    payload["ui_items"] = model._ui_items
+    payload["interactions"] = model.interactions
+    payload["sample_weight"] = model.sample_weight
+    payload["hyper_json"] = np.array(
+        json.dumps({k: getattr(model, k) for k in _HYPERS})
+    )
+    np.savez(path, **payload)
+
+
+def load_model(cls, path):
+    import pandas as pd
+
+    data = np.load(path, allow_pickle=True)
+    hyper = json.loads(str(data["hyper_json"]))
+    extras = {k: hyper.pop(k) for k in ("batch_size", "seed", "sample_rounds")}
+    model = cls(**hyper, **extras)
+
+    model.user_id = pd.Series(data["user_id"])
+    model.item_id = pd.Series(data["item_id"])
+    model.index_to_user = model.user_id
+    model.index_to_item = model.item_id
+    model.user_to_index = pd.Series(data=model.user_id.index, index=model.user_id.values)
+    model.item_to_index = pd.Series(data=model.item_id.index, index=model.item_id.values)
+    model.user_idx = np.arange(len(model.user_id), dtype=np.int32)
+    model.item_idx = np.arange(len(model.item_id), dtype=np.int32)
+
+    model.interactions = data["interactions"]
+    model.sample_weight = data["sample_weight"]
+    model._ui_offsets = data["ui_offsets"]
+    model._ui_items = data["ui_items"]
+    model._offsets_dev = jnp.asarray(model._ui_offsets)
+    model._flat_items_dev = jnp.asarray(model._ui_items)
+
+    model.x_uf = data["x_uf"]
+    model.x_if = data["x_if"]
+    model._x_uf_dev = jnp.asarray(model.x_uf)
+    model._x_if_dev = jnp.asarray(model.x_if)
+
+    model._weights = {k: jnp.asarray(data[f"weights/{k}"]) for k in _WEIGHT_KEYS}
+    model.is_fit = True
+    return model

@@ -1,0 +1,122 @@
+"""Host-side data utilities: ingestion, id mapping, CSR user-history arrays.
+
+Mirrors the ingestion semantics of the reference
+(`/root/reference/rankfm/utils.py:5-18`, `/root/reference/rankfm/rankfm.py:140-211`)
+while producing TPU-friendly static-shape device arrays:
+
+* interactions become a dense ``int32 [N, 2]`` array of internal indices,
+* per-user item histories become a CSR pair ``(offsets [U+1], flat_items [nnz])``
+  with each row sorted ascending — the device-side analog of the reference's
+  ragged ``user_items`` dict of sorted arrays (`rankfm.py:167-174`) and the
+  malloc'd C copies used by its hot loop (`_rankfm.pyx:204-212`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def get_data(obj):
+    """Extract the underlying ndarray from common pandas/numpy containers.
+
+    Same contract as the reference `utils.get_data`
+    (`/root/reference/rankfm/utils.py:5-18`): DataFrame/Series -> ``.values``,
+    ndarray passes through, anything else raises ``TypeError``.
+    """
+    if isinstance(obj, (pd.DataFrame, pd.Series)):
+        return obj.values
+    elif isinstance(obj, np.ndarray):
+        return obj
+    else:
+        raise TypeError("input data must be in [pd.DataFrame, pd.Series, np.ndarray] format")
+
+
+def build_index(values):
+    """Sorted-unique id array and an id -> zero-based-index pandas Series.
+
+    Matches the reference's index construction (`rankfm.py:114-124`): ids are
+    sorted ascending and assigned dense int indices.
+    """
+    ids = pd.Series(np.sort(np.unique(values)))
+    to_index = pd.Series(data=ids.index, index=ids.values)
+    return ids, to_index
+
+
+def map_interactions(interactions, user_to_index, item_to_index):
+    """Map raw (user_id, item_id) pairs to internal int32 indices.
+
+    Pairs containing an unknown user or item are silently dropped — the
+    reference's ``.map(...).dropna()`` behavior (`rankfm.py:151-156`).
+
+    Returns ``(pairs int32 [N,2], keep_mask bool [N_in])`` where ``keep_mask``
+    marks the surviving input rows (used to subset ``sample_weight``).
+    """
+    arr = get_data(interactions)
+    u = pd.Series(arr[:, 0]).map(user_to_index).values.astype(np.float64)
+    i = pd.Series(arr[:, 1]).map(item_to_index).values.astype(np.float64)
+    keep = ~(np.isnan(u) | np.isnan(i))
+    pairs = np.stack([u[keep], i[keep]], axis=1).astype(np.int32)
+    return np.ascontiguousarray(pairs), keep
+
+
+def build_user_items_csr(pairs, num_users):
+    """Build a CSR view of the distinct, sorted item history of every user.
+
+    ``pairs`` is ``int32 [N, 2]`` of (user_idx, item_idx). Duplicate (u, i)
+    pairs are collapsed (the reference stores *sets* per user,
+    `rankfm.py:167-174`). Rows are sorted ascending so the device-side
+    membership test can use binary search.
+
+    Returns ``(offsets int32 [U+1], flat_items int32 [nnz])``.
+    """
+    if len(pairs) == 0:
+        return np.zeros(num_users + 1, dtype=np.int32), np.zeros(0, dtype=np.int32)
+    uniq = np.unique(pairs, axis=0)  # sorts by (u, i) and dedups
+    users = uniq[:, 0]
+    items = uniq[:, 1]
+    counts = np.bincount(users, minlength=num_users).astype(np.int64)
+    offsets = np.zeros(num_users + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return offsets, np.ascontiguousarray(items, dtype=np.int32)
+
+
+def merge_user_items_csr(offsets_a, items_a, offsets_b, items_b, num_users):
+    """Union two CSR user-history structures row-wise (``fit_partial`` semantics,
+    `rankfm.py:170-172`)."""
+    pairs = []
+    for off, it in ((offsets_a, items_a), (offsets_b, items_b)):
+        if len(it):
+            counts = np.diff(off).astype(np.int64)
+            users = np.repeat(np.arange(num_users, dtype=np.int32), counts)
+            pairs.append(np.stack([users, it.astype(np.int32)], axis=1))
+    if not pairs:
+        return np.zeros(num_users + 1, dtype=np.int32), np.zeros(0, dtype=np.int32)
+    return build_user_items_csr(np.concatenate(pairs, axis=0), num_users)
+
+
+def csr_to_dict(offsets, flat_items):
+    """Expose the CSR history as the reference's ``{user: sorted int32 array}``
+    dict (`rankfm.py:174`) for API compatibility."""
+    out = {}
+    for u in range(len(offsets) - 1):
+        lo, hi = int(offsets[u]), int(offsets[u + 1])
+        if hi > lo:
+            out[u] = flat_items[lo:hi].copy()
+    return out
+
+
+def validate_features(features, to_index, idx, kind):
+    """Coerce a feature frame to a float32 ``[n, d]`` matrix row-ordered by
+    internal index.
+
+    Mirrors `rankfm.py:181-211`: the first column is the id; the id set must
+    exactly equal the interaction id set else ``KeyError``; string feature
+    columns raise ``ValueError`` (via the float cast).
+    """
+    x = pd.DataFrame(features).copy()
+    x = x.set_index(x.columns[0])
+    x.index = x.index.map(to_index)
+    if np.array_equal(sorted(x.index.values), idx):
+        return np.ascontiguousarray(x.sort_index(), dtype=np.float32)
+    raise KeyError(f"the {kind}s in [{kind}_features] do not match the {kind}s in [interactions]")

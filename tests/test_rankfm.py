@@ -1,0 +1,302 @@
+"""API-parity tests: the exact behavioral contracts pinned by the reference's
+test suite (`/root/reference/tests/test_rankfm.py`), exercised against the
+TPU-native implementation. Fixtures are re-stated (tiny 3-user x 6-item data)
+rather than imported."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rankfm_tpu import RankFM
+
+# ------------------------------
+# fixtures (reference `test_rankfm.py:17-129` contracts)
+# ------------------------------
+
+intx_train_pd_int = pd.DataFrame([
+    (1, 1), (1, 3), (1, 5),
+    (2, 1), (2, 2), (2, 6),
+    (3, 3), (3, 6), (3, 4)
+], columns=['user_id', 'item_id'], dtype=np.int32)
+
+intx_train_pd_str = pd.DataFrame([
+    ('X', 'A'), ('X', 'C'), ('X', 'E'),
+    ('Y', 'A'), ('Y', 'B'), ('Y', 'F'),
+    ('Z', 'C'), ('Z', 'F'), ('Z', 'D')
+], columns=['user_id', 'item_id'])
+
+intx_train_np = np.array([
+    (1, 1), (1, 3), (1, 5),
+    (2, 1), (2, 2), (2, 6),
+    (3, 3), (3, 6), (3, 4)
+])
+
+intx_train_pd_rating = pd.DataFrame([
+    (1, 1, 5), (1, 3, 2), (1, 5, 3),
+    (2, 1, 2), (2, 2, 1), (2, 6, 4),
+    (3, 3, 3), (3, 6, 4), (3, 4, 5)
+], columns=['user_id', 'item_id', 'rating'], dtype=np.int32)
+
+intx_valid_disjoint = pd.DataFrame([
+    (1, 1), (1, 3), (1, 5),
+    (2, 1), (2, 2), (2, 7),
+    (4, 3), (4, 7), (4, 4)
+], columns=['user_id', 'item_id'], dtype=np.int32)
+
+uf_pd_good = pd.DataFrame([
+    (1, 0, 1, 5, 3.14),
+    (2, 1, 0, 6, 2.72),
+    (3, 0, 0, 4, 1.62)
+], columns=['user_id', 'bin_1', 'bin_2', 'int', 'cnt'])
+
+uf_np_good = np.array([
+    (1, 0, 1, 5, 3.14),
+    (2, 1, 0, 6, 2.72),
+    (3, 0, 0, 4, 1.62)
+])
+
+uf_no_id = pd.DataFrame([
+    (0, 1, 5, 3.14),
+    (1, 0, 6, 2.72),
+    (0, 0, 4, 1.62)
+], columns=['bin_1', 'bin_2', 'int', 'cnt'])
+
+uf_str_cols = pd.DataFrame([
+    (1, 0, 1, "A", 3.14),
+    (2, 1, 0, "B", 2.72),
+    (3, 0, 0, "C", 1.62)
+], columns=['user_id', 'bin_1', 'bin_2', 'str', 'cnt'])
+
+if_pd_good = pd.DataFrame([
+    (1, 0, 1, 5, 3.14),
+    (2, 1, 0, 6, 2.72),
+    (3, 0, 0, 4, 1.62),
+    (4, 1, 1, 3, 1.05),
+    (5, 1, 0, 6, 0.33),
+    (6, 0, 0, 0, 0.00)
+], columns=['item_id', 'bin_1', 'bin_2', 'int', 'cnt'])
+
+if_np_good = np.array([
+    (1, 0, 1, 5, 3.14),
+    (2, 1, 0, 6, 2.72),
+    (3, 0, 0, 4, 1.62),
+    (4, 1, 1, 3, 1.05),
+    (5, 1, 0, 6, 0.33),
+    (6, 0, 0, 0, 0.00)
+])
+
+if_no_id = pd.DataFrame([
+    (0, 1, 5, 3.14),
+    (1, 0, 6, 2.72),
+    (0, 0, 4, 1.62),
+    (1, 1, 3, 1.05),
+    (1, 0, 6, 0.33),
+    (0, 0, 0, 0.00)
+], columns=['bin_1', 'bin_2', 'int', 'cnt'])
+
+if_str_cols = pd.DataFrame([
+    (1, 0, 1, "A", 3.14),
+    (2, 1, 0, "B", 2.72),
+    (3, 0, 0, "C", 1.62),
+    (4, 1, 1, "A", 1.05),
+    (5, 1, 0, "F", 0.33),
+    (6, 0, 0, "G", 0.00)
+], columns=['item_id', 'bin_1', 'bin_2', 'str', 'cnt'])
+
+train_users = np.array([1, 2, 3])
+valid_users = np.array([1, 2, 4, 5])
+
+# ------------------------------
+# model fitting
+# ------------------------------
+
+params_good = [
+    (intx_train_pd_int,       None,       None),
+    (intx_train_pd_str,       None,       None),
+    (intx_train_np,           None,       None),
+    (intx_train_pd_int, uf_pd_good,       None),
+    (intx_train_pd_int,       None, if_pd_good),
+    (intx_train_pd_int, uf_pd_good, if_pd_good),
+    (intx_train_pd_int, uf_np_good, if_np_good),
+]
+
+
+@pytest.mark.parametrize("interactions, user_features, item_features", params_good)
+def test__fit__good(interactions, user_features, item_features):
+    model = RankFM(factors=2)
+    model.fit(interactions, user_features, item_features, epochs=2, verbose=True)
+    assert model.is_fit
+
+
+def test__fit__bad__rating_col():
+    with pytest.raises(AssertionError):
+        model = RankFM(factors=2)
+        model.fit(intx_train_pd_rating)
+
+
+def test__fit__bad__uf_no_id():
+    with pytest.raises(KeyError):
+        model = RankFM(factors=2)
+        model.fit(intx_train_pd_int, user_features=uf_no_id)
+
+
+def test__fit__bad__uf_str_cols():
+    with pytest.raises(ValueError):
+        model = RankFM(factors=2)
+        model.fit(intx_train_pd_int, user_features=uf_str_cols)
+
+
+def test__fit__bad__if_no_id():
+    with pytest.raises(KeyError):
+        model = RankFM(factors=2)
+        model.fit(intx_train_pd_int, item_features=if_no_id)
+
+
+def test__fit__bad__if_str_cols():
+    with pytest.raises(ValueError):
+        model = RankFM(factors=2)
+        model.fit(intx_train_pd_int, item_features=if_str_cols)
+
+
+def test__fit_partial__before_fit_then_after():
+    model = RankFM(factors=2)
+    model.fit_partial(intx_train_pd_int, epochs=1)
+    assert model.is_fit
+    model.fit_partial(intx_train_pd_int, epochs=1)
+    assert model.is_fit
+
+
+def test__ctor__bad_hyperparams():
+    with pytest.raises(AssertionError):
+        RankFM(factors=0)
+    with pytest.raises(AssertionError):
+        RankFM(loss='hinge')
+    with pytest.raises(AssertionError):
+        RankFM(learning_schedule='exponential')
+    with pytest.raises(AssertionError):
+        RankFM(alpha=0.0)
+
+# ------------------------------
+# score prediction
+# ------------------------------
+
+def test__predict__good__train():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    scores = model.predict(intx_train_pd_int)
+    assert scores.shape == (9,)
+    assert scores.dtype == np.float32
+    assert np.sum(np.isnan(scores)) == 0
+
+
+def test__predict__good__disjoint_nan():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    scores = model.predict(intx_valid_disjoint, cold_start='nan')
+    assert scores.shape == (9,)
+    assert scores.dtype == np.float32
+    assert np.sum(np.isnan(scores)) == 4
+
+
+def test__predict__good__disjoint_drop():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    scores = model.predict(intx_valid_disjoint, cold_start='drop')
+    assert scores.shape == (5,)
+    assert scores.dtype == np.float32
+    assert np.sum(np.isnan(scores)) == 0
+
+
+def test__predict__bad_cold_start():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    with pytest.raises(ValueError):
+        model.predict(intx_train_pd_int, cold_start='fail')
+
+# ------------------------------
+# user recommendation
+# ------------------------------
+
+def test__recommend__good__train():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    recs = model.recommend(train_users, n_items=3)
+    assert isinstance(recs, pd.DataFrame)
+    assert recs.shape == (3, 3)
+    assert np.array_equal(recs.index.values, train_users)
+    assert recs.isin(intx_train_pd_int['item_id'].values).all().all()
+
+
+def test__recommend__good__train__filter():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    recs = model.recommend(train_users, n_items=3, filter_previous=True)
+    assert isinstance(recs, pd.DataFrame)
+    assert recs.shape == (3, 3)
+    assert np.array_equal(recs.index.values, train_users)
+    assert recs.isin(intx_train_pd_int['item_id'].values).all().all()
+
+    recs_long = recs.stack().reset_index().drop('level_1', axis=1)
+    recs_long.columns = ['user_id', 'item_id']
+    intersect = pd.merge(
+        intx_train_pd_int.astype(np.int64), recs_long.astype(np.int64),
+        on=['user_id', 'item_id'], how='inner'
+    ).empty
+    assert intersect
+
+
+def test__recommend__good__valid__nan():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    recs = model.recommend(valid_users, n_items=3, cold_start='nan')
+    assert isinstance(recs, pd.DataFrame)
+    assert recs.shape == (4, 3)
+    assert np.array_equal(sorted(recs.index.values), sorted(valid_users))
+    assert recs.dropna().isin(intx_train_pd_int['item_id'].values).all().all()
+    new_users = list(set(valid_users) - set(train_users))
+    assert recs.loc[new_users].isnull().all().all()
+
+
+def test__recommend__good__valid__drop():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    recs = model.recommend(valid_users, n_items=3, cold_start='drop')
+    assert isinstance(recs, pd.DataFrame)
+    assert recs.shape == (2, 3)
+    assert np.isin(recs.index.values, valid_users).all()
+    assert recs.dropna().isin(intx_train_pd_int['item_id'].values).all().all()
+    same_users = list(set(valid_users) & set(train_users))
+    assert np.array_equal(sorted(same_users), sorted(recs.index.values))
+
+# ------------------------------
+# similar items/users
+# ------------------------------
+
+def test__similar_items__good():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    similar = model.similar_items(1, n_items=3)
+    assert similar.shape == (3,)
+    assert np.isin(similar, intx_train_pd_int['item_id'].unique()).all()
+
+
+def test__similar_items__bad():
+    with pytest.raises(AssertionError):
+        model = RankFM(factors=2)
+        model.fit(intx_train_pd_int)
+        model.similar_items(99, n_items=3)
+
+
+def test__similar_users__good():
+    model = RankFM(factors=2)
+    model.fit(intx_train_pd_int)
+    similar = model.similar_users(1, n_users=2)
+    assert similar.shape == (2,)
+    assert np.isin(similar, intx_train_pd_int['user_id'].unique()).all()
+
+
+def test__similar_users__bad():
+    with pytest.raises(AssertionError):
+        model = RankFM(factors=2)
+        model.fit(intx_train_pd_int)
+        model.similar_users(9, n_users=1)
