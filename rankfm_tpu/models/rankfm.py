@@ -46,7 +46,7 @@ class RankFM:
     def __init__(self, factors=10, loss='bpr', max_samples=10, alpha=0.01, beta=0.1,
                  sigma=0.1, learning_rate=0.1, learning_schedule='constant',
                  learning_exponent=0.25, *, batch_size=None, seed=1492,
-                 sample_rounds=8, mesh=None):
+                 sample_rounds=8, neg_sampler='auto', mesh=None):
         """store hyperparameters and initialize internal model state
 
         :param factors: latent factor rank
@@ -65,6 +65,10 @@ class RankFM:
         :param seed: base PRNG seed for negative sampling / epoch shuffling
             (the reference hard-codes MT19937 seed 1492, `_rankfm.pyx:182`)
         :param sample_rounds: rejection re-draw rounds for negative sampling
+        :param neg_sampler: membership strategy for negative rejection:
+            'bitmap' (packed-row gather, fastest), 'bsearch' (CSR binary
+            search, scales to huge catalogs), or 'auto' (bitmap when the
+            packed bitmap fits in ~512 MB)
         :param mesh: optional `jax.sharding.Mesh` with axes ('data', 'model')
             for sharded tables/batches; None = single-device
         """
@@ -90,9 +94,12 @@ class RankFM:
         self.learning_schedule = learning_schedule
         self.learning_exponent = learning_exponent
 
+        assert neg_sampler in ('auto', 'bitmap', 'bsearch'), \
+            "[neg_sampler] must be in ('auto', 'bitmap', 'bsearch')"
         self.batch_size = batch_size
         self.seed = seed
         self.sample_rounds = sample_rounds
+        self.neg_sampler = neg_sampler
         self.mesh = mesh
 
         self._reset_state()
@@ -130,11 +137,16 @@ class RankFM:
         self._x_if_dev = None
         self._offsets_dev = None
         self._flat_items_dev = None
+        self._bitmap_dev = None
+        self._sampler = None
 
         self._epoch_fn = None
         self._epoch_fn_key = None
         self._topk_fns = {}
         self._score_fn = jax.jit(scoring.score_pairs)
+
+        # structured per-epoch training log (SURVEY.md §5 observability)
+        self.training_log_ = []
 
         self.is_fit = False
 
@@ -222,6 +234,19 @@ class RankFM:
         self._ui_offsets, self._ui_items = offsets, items
         self._offsets_dev = jnp.asarray(offsets)
         self._flat_items_dev = jnp.asarray(items)
+
+        # membership strategy: packed bitmap when affordable (one row gather
+        # per batch beats O(log nnz) binary-search rounds on TPU)
+        U, I = len(self.user_idx), len(self.item_idx)
+        words = (I + 31) // 32
+        if self.neg_sampler == 'bitmap' or (
+                self.neg_sampler == 'auto' and U * words * 4 <= 512 * 2**20):
+            from rankfm_tpu.ops.negatives import build_bitmap_words
+            self._sampler = 'bitmap'
+            self._bitmap_dev = jnp.asarray(build_bitmap_words(offsets, items, U, I))
+        else:
+            self._sampler = 'bsearch'
+            self._bitmap_dev = jnp.zeros((1, 1), dtype=jnp.uint32)
 
     def _init_features(self, user_features=None, item_features=None):
         """store user/item feature matrices row-ordered by index (`rankfm.py:181-211`)"""
@@ -354,11 +379,11 @@ class RankFM:
         sw[:n] = self.sample_weight
 
         fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs, n_pad,
-                  tuple(v.shape for v in self._weights.values()))
+                  self._sampler, tuple(v.shape for v in self._weights.values()))
         if self._epoch_fn is None or self._epoch_fn_key != fn_key:
             self._epoch_fn = make_epoch_fn(
                 num_items, max_samples, x_uf_any, x_if_any, bs,
-                sample_rounds=self.sample_rounds,
+                sample_rounds=self.sample_rounds, sampler=self._sampler,
             )
             self._epoch_fn_key = fn_key
 
@@ -366,23 +391,32 @@ class RankFM:
         base_key = jax.random.PRNGKey(self.seed)
 
         w = self._weights
+        import time as _time
         for epoch in range(epochs):
             if self.learning_schedule == 'constant':
                 eta = self.learning_rate
             else:  # invscaling (validated in ctor)
                 eta = self.learning_rate / (epoch + 1) ** self.learning_exponent
 
+            t0 = _time.time()
             w, ll = self._epoch_fn(
                 w, self._x_uf_dev, self._x_if_dev,
-                self._offsets_dev, self._flat_items_dev,
+                {"offsets": self._offsets_dev, "flat": self._flat_items_dev,
+                 "bitmap": self._bitmap_dev},
                 u_dev, i_dev, sw_dev, n,
                 jnp.float32(eta), jnp.float32(self.alpha), jnp.float32(self.beta),
                 jax.random.fold_in(base_key, epoch),
             )
             self._weights = w
             self._assert_finite()
+            dt = _time.time() - t0
+            self.training_log_.append({
+                "epoch": epoch, "eta": eta, "log_likelihood": float(ll),
+                "seconds": dt, "interactions_per_s": n / dt if dt > 0 else float("inf"),
+            })
             if verbose:
                 penalty = self._reg_penalty()
+                self.training_log_[-1]["penalized_log_likelihood"] = float(ll) - penalty
                 print("\ntraining epoch:", epoch)
                 print("log likelihood:", round(float(ll) - penalty, 2))
 

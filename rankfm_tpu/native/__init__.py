@@ -1,0 +1,102 @@
+"""ctypes bindings for the native host-side data pipeline (ingest.cpp).
+
+Compiled lazily with g++ on first use and cached next to the source. All
+entry points have pure-numpy fallbacks in `rankfm_tpu.utils.data`, so the
+package works without a toolchain; with it, ingestion of 10^8-row logs runs
+at sort speed instead of pandas speed.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "ingest.cpp")
+_LIB = os.path.join(_HERE, "_ingest.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build():
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+           "-o", _LIB, _SRC]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+def get_lib():
+    """Load (building if necessary) the native library; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_LIB)
+                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+                _build()
+            lib = ctypes.CDLL(_LIB)
+            lib.rfm_unique_sorted.restype = ctypes.c_int64
+            lib.rfm_unique_sorted.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.rfm_map_ids.restype = None
+            lib.rfm_map_ids.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.rfm_build_csr.restype = ctypes.c_int64
+            lib.rfm_build_csr.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+            _lib = lib
+        except Exception:
+            _lib = None
+    return _lib
+
+
+def _ptr(a):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+def unique_sorted(ids):
+    """native sorted-unique for int64 id columns; None if native unavailable"""
+    lib = get_lib()
+    if lib is None:
+        return None
+    ids = np.ascontiguousarray(ids, dtype=np.int64)
+    out = np.empty_like(ids)
+    m = lib.rfm_unique_sorted(_ptr(ids), len(ids), _ptr(out))
+    return out[:m].copy()
+
+
+def map_ids(raw, sorted_unique):
+    """native id -> dense index mapping (-1 for unknown); None if unavailable"""
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.int64)
+    su = np.ascontiguousarray(sorted_unique, dtype=np.int64)
+    out = np.empty(len(raw), dtype=np.int32)
+    lib.rfm_map_ids(_ptr(raw), len(raw), _ptr(su), len(su), _ptr(out))
+    return out
+
+
+def build_csr(users, items, num_users):
+    """native CSR user-history build; None if unavailable"""
+    lib = get_lib()
+    if lib is None:
+        return None
+    users = np.ascontiguousarray(users, dtype=np.int32)
+    items = np.ascontiguousarray(items, dtype=np.int32)
+    offsets = np.empty(num_users + 1, dtype=np.int32)
+    flat = np.empty(max(len(items), 1), dtype=np.int32)
+    nnz = lib.rfm_build_csr(_ptr(users), _ptr(items), len(users),
+                            num_users, _ptr(offsets), _ptr(flat))
+    return offsets, flat[:nnz].copy()

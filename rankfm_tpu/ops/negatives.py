@@ -48,6 +48,63 @@ def csr_member(flat_items, offsets, u, j):
     return (lo < offsets[u + 1]) & (found_val == j)
 
 
+def build_bitmap_words(offsets, flat_items, num_users, num_items):
+    """Host-side: pack each user's item history into a [U, ceil(I/32)] uint32
+    bitmap. One row gather + bit test replaces the O(log nnz) binary search —
+    the fast membership path when U * I / 8 bytes is affordable."""
+    import numpy as np
+
+    words = (num_items + 31) // 32
+    bm = np.zeros((num_users, words), dtype=np.uint32)
+    counts = np.diff(offsets).astype(np.int64)
+    users = np.repeat(np.arange(num_users, dtype=np.int64), counts)
+    items = flat_items.astype(np.int64)
+    np.bitwise_or.at(bm, (users, items >> 5), (np.uint32(1) << (items & 31).astype(np.uint32)))
+    return bm
+
+
+def bitmap_member(bitmap_words, u, j):
+    """Vectorized membership test against the packed bitmap.
+
+    ``u [B]``, ``j [B, K]`` -> bool [B, K]. One contiguous row gather
+    (``bitmap[u]``) plus an in-row take_along_axis — far cheaper on TPU than
+    per-element 2-D gathers.
+    """
+    rows = bitmap_words[u]                                    # [B, words]
+    word = jnp.take_along_axis(rows, (j >> 5).astype(jnp.int32), axis=1)
+    bit = (word >> (j & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    return bit.astype(bool)
+
+
+def sample_negatives_bitmap(key, u, bitmap_words, num_items, max_samples, rounds=2):
+    """Bitmap-backed negative sampling: draw ``rounds`` candidate sets up
+    front, test membership against the gathered bitmap rows, take the first
+    non-member per slot.
+
+    All arrays stay in ``[B, M]`` layout — no 3-D reshapes (a trailing dim of
+    ``rounds`` would force an expensive lane relayout on TPU). Residual
+    all-member slots (probability (h_u/I)^rounds) are flagged invalid and
+    masked downstream, mirroring `sample_negatives`.
+    """
+    B = u.shape[0]
+    M = max_samples
+    rows = bitmap_words[u]                                    # [B, words] one gather
+
+    def member_of(j):
+        word = jnp.take_along_axis(rows, (j >> 5).astype(jnp.int32), axis=1)
+        bit = (word >> (j & 31).astype(jnp.uint32)) & jnp.uint32(1)
+        return bit.astype(bool)
+
+    keys = jax.random.split(key, rounds)
+    chosen = jax.random.randint(keys[0], (B, M), 0, num_items, dtype=jnp.int32)
+    still_member = member_of(chosen)
+    for r in range(1, rounds):
+        fresh = jax.random.randint(keys[r], (B, M), 0, num_items, dtype=jnp.int32)
+        chosen = jnp.where(still_member, fresh, chosen)
+        still_member = jnp.where(still_member, member_of(fresh), still_member)
+    return chosen, ~still_member
+
+
 def sample_negatives(key, u, offsets, flat_items, num_items, max_samples, rounds=8):
     """Draw ``[B, max_samples]`` candidate negative items for each user in ``u``.
 

@@ -45,12 +45,12 @@ visibility cannot (and should not) be reproduced on a batched accelerator.
 from __future__ import annotations
 
 import math
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
 
-from rankfm_tpu.ops.negatives import sample_negatives
+from rankfm_tpu.ops.negatives import sample_negatives, sample_negatives_bitmap
 
 MARGIN = 1.0
 
@@ -70,52 +70,60 @@ def _decay_apply(wt, grad, counts, eta, reg):
     return ck * wt + eta * f * grad
 
 
-def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8):
+def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
+                    sampler="bsearch"):
     """Build the jittable single-batch training step.
 
-    Static configuration: catalog size, WARP width, and whether user/item
-    features are present (drives the decay-count bookkeeping, mirroring the
-    ``x_uf_any``/``x_if_any`` fast paths at `_rankfm.pyx:192-194`).
+    Static configuration: catalog size, WARP width, whether user/item features
+    are present (drives the decay-count bookkeeping, mirroring the
+    ``x_uf_any``/``x_if_any`` fast paths at `_rankfm.pyx:192-194`), and the
+    membership strategy for negative rejection: ``'bitmap'`` (one packed-row
+    gather; fastest when U*I/8 bytes fits in HBM) or ``'bsearch'`` (CSR binary
+    search; scales to arbitrarily large catalogs).
+
+    The step takes ``hist = {'offsets', 'flat', 'bitmap'}``; only the arrays
+    the chosen sampler needs are read (pass 1-element dummies for the rest).
     """
     M = max_samples
     log_I = math.log(num_items) if num_items > 1 else 1.0
 
-    def step(w, x_uf, x_if, offsets, flat_items, u, i, sw, valid, eta, alpha, beta, key):
+    def step(w, x_uf, x_if, hist, u, i, sw, valid, eta, alpha, beta, key):
         B = u.shape[0]
+        F = w["v_u"].shape[1]
 
-        cands, cand_ok = sample_negatives(
-            key, u, offsets, flat_items, num_items, M, rounds=sample_rounds
-        )  # [B, M]
+        if sampler == "bitmap":
+            cands, cand_ok = sample_negatives_bitmap(
+                key, u, hist["bitmap"], num_items, M,
+                rounds=max(2, min(sample_rounds, 4)),
+            )
+        else:
+            cands, cand_ok = sample_negatives(
+                key, u, hist["offsets"], hist["flat"], num_items, M,
+                rounds=sample_rounds,
+            )  # [B, M]
 
-        # ---- gather + score (positives) ----
+        # ---- gather user-side rows; score ALL items with ONE MXU matmul ----
+        # (avoids every [B, M, F] 3-D gather: trailing dims < 128 lanes force
+        # expensive relayouts on TPU; a [B,2F]x[2F,I] matmul + in-row
+        # take_along_axis is both faster and feature-exact)
         v_u_b = w["v_u"][u]                                   # [B, F]
         x_uf_b = x_uf[u]                                      # [B, P]
         user_rep_b = v_u_b + jnp.dot(x_uf_b, w["v_uf"], preferred_element_type=jnp.float32)
 
-        v_i_pos = w["v_i"][i]                                 # [B, F]
-        x_if_pos = x_if[i]                                    # [B, Q]
-        feat_rep_pos = jnp.dot(x_if_pos, w["v_if"], preferred_element_type=jnp.float32)
-        bias_pos = w["w_i"][i] + jnp.dot(x_if_pos, w["w_if"], preferred_element_type=jnp.float32)
-        ut_ui = (
-            bias_pos
-            + jnp.sum(user_rep_b * v_i_pos, axis=-1)
-            + jnp.sum(v_u_b * feat_rep_pos, axis=-1)
-        )                                                     # [B]
+        item_rep = w["v_i"] + jnp.dot(x_if, w["v_if"], preferred_element_type=jnp.float32)
+        item_bias = w["w_i"] + jnp.dot(x_if, w["w_if"], preferred_element_type=jnp.float32)
+        u_mat = jnp.concatenate([user_rep_b, v_u_b], axis=-1)            # [B, 2F]
+        i_mat = jnp.concatenate([w["v_i"], item_rep - w["v_i"]], axis=-1)  # [I, 2F]
+        # bf16 MXU passes for the big matmul (f32 accumulate); SGD is robust
+        # to bf16-grade scoring noise and the MXU runs 4x faster
+        scores_all = (
+            jnp.dot(u_mat.astype(jnp.bfloat16), i_mat.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            + item_bias[None, :]
+        )                                                     # [B, I]
 
-        # ---- gather + score (negative candidates) ----
-        v_i_neg = w["v_i"][cands]                             # [B, M, F]
-        x_if_neg = x_if[cands]                                # [B, M, Q]
-        feat_rep_neg = jnp.einsum(
-            "bmq,qf->bmf", x_if_neg, w["v_if"], preferred_element_type=jnp.float32
-        )
-        bias_neg = w["w_i"][cands] + jnp.einsum(
-            "bmq,q->bm", x_if_neg, w["w_if"], preferred_element_type=jnp.float32
-        )
-        ut_uj = (
-            bias_neg
-            + jnp.einsum("bf,bmf->bm", user_rep_b, v_i_neg, preferred_element_type=jnp.float32)
-            + jnp.einsum("bf,bmf->bm", v_u_b, feat_rep_neg, preferred_element_type=jnp.float32)
-        )                                                     # [B, M]
+        ut_ui = jnp.take_along_axis(scores_all, i[:, None], axis=1)[:, 0]  # [B]
+        ut_uj = jnp.take_along_axis(scores_all, cands, axis=1)            # [B, M]
 
         # ---- WARP selection: first margin violator, else hardest negative ----
         pairwise = ut_ui[:, None] - ut_uj                     # [B, M]
@@ -140,11 +148,13 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8)
         d = row_ok * sw * multiplier * d_outer                # [B]
         ll = jnp.sum(row_ok * jax.nn.log_sigmoid(pw_safe))
 
-        # ---- selected-negative gathers for gradient terms ----
-        take_f = lambda a: jnp.take_along_axis(a, sel[:, None, None], axis=1)[:, 0]
-        v_i_j = take_f(v_i_neg)                               # [B, F]
-        feat_rep_j = take_f(feat_rep_neg)                     # [B, F]
-        x_if_j = take_f(x_if_neg)                             # [B, Q]
+        # ---- selected-pair gathers for gradient terms (all 2-D [B, *]) ----
+        v_i_pos = w["v_i"][i]                                 # [B, F]
+        x_if_pos = x_if[i]                                    # [B, Q]
+        feat_rep_pos = jnp.dot(x_if_pos, w["v_if"], preferred_element_type=jnp.float32)
+        v_i_j = w["v_i"][j]                                   # [B, F]
+        x_if_j = x_if[j]                                      # [B, Q]
+        feat_rep_j = jnp.dot(x_if_j, w["v_if"], preferred_element_type=jnp.float32)
 
         # ---- accumulate gradients (scatter-add over the batch) ----
         d_col = d[:, None]
@@ -204,8 +214,9 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8)
     return step
 
 
+@lru_cache(maxsize=32)
 def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
-                  sample_rounds=8, donate=True):
+                  sample_rounds=8, donate=True, sampler="bsearch"):
     """Build the jitted whole-epoch function.
 
     One epoch = device-side shuffle + `lax.scan` over minibatches of the
@@ -213,14 +224,15 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
     ``np.random.shuffle`` + N sequential sample updates (`_rankfm.pyx:218-336`).
 
     The returned function signature is
-    ``epoch_fn(w, x_uf, x_if, offsets, flat_items, u, i, sw, eta, alpha, beta, key)
+    ``epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta, key)
       -> (w, log_likelihood)``
     where ``u/i/sw`` are the *padded* interaction columns (pad rows carry
     ``sw = 0`` and index ``>= n_real``) and ``n_real`` is baked in statically.
     """
-    step = make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds)
+    step = make_train_step(num_items, max_samples, x_uf_any, x_if_any,
+                           sample_rounds, sampler)
 
-    def epoch_fn(w, x_uf, x_if, offsets, flat_items, u, i, sw, n_real, eta, alpha, beta, key):
+    def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta, key):
         n_pad = u.shape[0]
         nb = n_pad // batch_size
         kperm, ksamp = jax.random.split(key)
@@ -235,7 +247,7 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
             wc = carry
             ub_, ib_, swb_, vb_, t = xs
             wc, ll = step(
-                wc, x_uf, x_if, offsets, flat_items,
+                wc, x_uf, x_if, hist,
                 ub_, ib_, swb_, vb_, eta, alpha, beta,
                 jax.random.fold_in(ksamp, t),
             )
@@ -245,4 +257,4 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
         return w, jnp.sum(lls)
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(epoch_fn, static_argnums=(8,), donate_argnums=donate_argnums)
+    return jax.jit(epoch_fn, static_argnums=(7,), donate_argnums=donate_argnums)

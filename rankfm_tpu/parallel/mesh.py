@@ -1,0 +1,74 @@
+"""Device-mesh construction and sharding layouts.
+
+The reference is strictly single-process/single-thread (SURVEY.md §2.6); this
+module is the build's first-class distribution story:
+
+* mesh axes ``("data", "model")`` — interaction minibatches are sharded over
+  ``data`` (pairwise-loss math is embarrassingly data-parallel), embedding
+  tables (``v_u``, ``v_i``, ``w_i``, ``x_uf``, ``x_if``) are **row-sharded**
+  over ``model``. Small dense feature weights (``w_if``, ``v_uf``, ``v_if``)
+  are replicated; their gradient contributions are reduced by XLA (psum over
+  both axes) automatically under GSPMD.
+* collectives ride ICI within a slice: gathers of embedding rows from
+  row-sharded tables and the scatter-add of gradients back to owner shards
+  compile to all-to-all / all-gather / psum inserted by XLA — the TPU-native
+  equivalent of the NCCL machinery the reference never had.
+* multi-host: build the mesh from ``jax.devices()`` after
+  ``jax.distributed.initialize()``; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data=None, model=None, devices=None):
+    """Create a ``(data, model)`` mesh.
+
+    With no arguments, uses all local devices on the data axis (pure DP).
+    ``data * model`` must equal the number of devices used.
+    """
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data is None and model is None:
+        data, model = n, 1
+    elif data is None:
+        data = n // model
+    elif model is None:
+        model = n // data
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
+
+
+def weight_shardings(mesh):
+    """NamedShardings for the weight pytree: big tables row-sharded over
+    'model', small dense feature weights replicated."""
+    row = NamedSharding(mesh, P("model", None))
+    vec = NamedSharding(mesh, P("model"))
+    rep = NamedSharding(mesh, P())
+    return {
+        "w_i": vec,   # [I]
+        "v_u": row,   # [U, F]
+        "v_i": row,   # [I, F]
+        "w_if": rep,  # [Q]
+        "v_uf": rep,  # [P, F]
+        "v_if": rep,  # [Q, F]
+    }
+
+
+def feature_shardings(mesh):
+    """x_uf [U,P] / x_if [I,Q] row-sharded like their tables."""
+    row = NamedSharding(mesh, P("model", None))
+    return {"x_uf": row, "x_if": row}
+
+
+def batch_sharding(mesh):
+    """1-D per-interaction arrays sharded over the 'data' axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh):
+    return NamedSharding(mesh, P())

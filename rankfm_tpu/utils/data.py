@@ -32,12 +32,29 @@ def get_data(obj):
         raise TypeError("input data must be in [pd.DataFrame, pd.Series, np.ndarray] format")
 
 
+def _int64_view(values):
+    """return an int64 ndarray view of an id column if losslessly possible"""
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu" and arr.dtype.itemsize <= 8:
+        return arr.astype(np.int64, copy=False)
+    return None
+
+
 def build_index(values):
     """Sorted-unique id array and an id -> zero-based-index pandas Series.
 
     Matches the reference's index construction (`rankfm.py:114-124`): ids are
-    sorted ascending and assigned dense int indices.
+    sorted ascending and assigned dense int indices. Integer id columns take
+    the native C++ sort path (rankfm_tpu.native) when available.
     """
+    iv = _int64_view(values)
+    if iv is not None:
+        from rankfm_tpu import native
+        uniq = native.unique_sorted(iv)
+        if uniq is not None:
+            ids = pd.Series(uniq.astype(np.asarray(values).dtype, copy=False))
+            to_index = pd.Series(data=ids.index, index=ids.values)
+            return ids, to_index
     ids = pd.Series(np.sort(np.unique(values)))
     to_index = pd.Series(data=ids.index, index=ids.values)
     return ids, to_index
@@ -53,6 +70,17 @@ def map_interactions(interactions, user_to_index, item_to_index):
     marks the surviving input rows (used to subset ``sample_weight``).
     """
     arr = get_data(interactions)
+    u_raw, i_raw = _int64_view(arr[:, 0]), _int64_view(arr[:, 1])
+    uid_int = _int64_view(user_to_index.index.values)
+    iid_int = _int64_view(item_to_index.index.values)
+    if u_raw is not None and i_raw is not None and uid_int is not None and iid_int is not None:
+        from rankfm_tpu import native
+        u_idx = native.map_ids(u_raw, uid_int)
+        i_idx = native.map_ids(i_raw, iid_int)
+        if u_idx is not None and i_idx is not None:
+            keep = (u_idx >= 0) & (i_idx >= 0)
+            pairs = np.stack([u_idx[keep], i_idx[keep]], axis=1).astype(np.int32)
+            return np.ascontiguousarray(pairs), keep
     u = pd.Series(arr[:, 0]).map(user_to_index).values.astype(np.float64)
     i = pd.Series(arr[:, 1]).map(item_to_index).values.astype(np.float64)
     keep = ~(np.isnan(u) | np.isnan(i))
@@ -72,6 +100,10 @@ def build_user_items_csr(pairs, num_users):
     """
     if len(pairs) == 0:
         return np.zeros(num_users + 1, dtype=np.int32), np.zeros(0, dtype=np.int32)
+    from rankfm_tpu import native
+    res = native.build_csr(pairs[:, 0], pairs[:, 1], num_users)
+    if res is not None:
+        return res
     uniq = np.unique(pairs, axis=0)  # sorts by (u, i) and dedups
     users = uniq[:, 0]
     items = uniq[:, 1]

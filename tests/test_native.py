@@ -1,0 +1,70 @@
+"""Native C++ data-pipeline tests: results must be identical to the numpy /
+pandas paths."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rankfm_tpu import native
+from rankfm_tpu.utils import data
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = native.get_lib()
+    if lib is None:
+        pytest.skip("native toolchain unavailable")
+    return lib
+
+
+def test_unique_sorted(lib):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(-10**12, 10**12, 10000)
+    got = native.unique_sorted(ids)
+    np.testing.assert_array_equal(got, np.unique(ids))
+
+
+def test_map_ids(lib):
+    rng = np.random.default_rng(1)
+    uniq = np.unique(rng.integers(0, 10**9, 500))
+    raw = np.concatenate([rng.choice(uniq, 2000), rng.integers(10**10, 10**11, 50)])
+    rng.shuffle(raw)
+    got = native.map_ids(raw, uniq)
+    want = pd.Series(raw).map(pd.Series(np.arange(len(uniq)), index=uniq)).fillna(-1).values
+    np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def test_build_csr_matches_numpy(lib):
+    rng = np.random.default_rng(2)
+    U = 50
+    pairs = np.stack([rng.integers(0, U, 3000), rng.integers(0, 200, 3000)], 1).astype(np.int32)
+    got_off, got_items = native.build_csr(pairs[:, 0], pairs[:, 1], U)
+
+    uniq = np.unique(pairs, axis=0)
+    counts = np.bincount(uniq[:, 0], minlength=U)
+    want_off = np.zeros(U + 1, np.int32)
+    want_off[1:] = np.cumsum(counts)
+    np.testing.assert_array_equal(got_off, want_off)
+    np.testing.assert_array_equal(got_items, uniq[:, 1].astype(np.int32))
+
+
+def test_data_pipeline_native_vs_pandas_end_to_end(lib):
+    """map_interactions + build_user_items_csr agree between paths"""
+    rng = np.random.default_rng(3)
+    raw_u = rng.choice(np.arange(100, 200), 5000)
+    raw_i = rng.choice(np.arange(9000, 9100), 5000)
+    inter = np.stack([raw_u, raw_i], 1)
+    _, u2i = data.build_index(inter[:, 0])
+    _, i2i = data.build_index(inter[:, 1])
+
+    pairs_native, keep_native = data.map_interactions(inter, u2i, i2i)
+
+    # force the pandas path by casting ids to object strings
+    inter_str = inter.astype(str).astype(object)
+    _, u2i_s = data.build_index(inter_str[:, 0])
+    _, i2i_s = data.build_index(inter_str[:, 1])
+    pairs_pd, keep_pd = data.map_interactions(inter_str, u2i_s, i2i_s)
+
+    # string sort order over equal-length numeric strings == numeric order here
+    np.testing.assert_array_equal(pairs_native, pairs_pd)
+    np.testing.assert_array_equal(keep_native, keep_pd)

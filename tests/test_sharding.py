@@ -1,0 +1,134 @@
+"""Multi-device tests on the 8-virtual-CPU-device mesh: sharded execution must
+be numerically equivalent to single-device execution (GSPMD train step) and
+exactly equivalent for the shard_map top-k merge."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rankfm_tpu.ops import scoring
+from rankfm_tpu.ops.topk import topk_for_users
+from rankfm_tpu.ops.training import make_train_step
+from rankfm_tpu.parallel.mesh import make_mesh, weight_shardings
+from rankfm_tpu.parallel.retrieval import make_sharded_topk
+from rankfm_tpu.parallel.train import place_weights, sharded_train_step
+
+
+def _toy(rng, U=32, I=48, F=8, P=3, Q=2):
+    w = {
+        "w_i": jnp.asarray(rng.normal(0, 0.1, I).astype(np.float32)),
+        "w_if": jnp.asarray(rng.normal(0, 0.1, Q).astype(np.float32)),
+        "v_u": jnp.asarray(rng.normal(0, 0.1, (U, F)).astype(np.float32)),
+        "v_i": jnp.asarray(rng.normal(0, 0.1, (I, F)).astype(np.float32)),
+        "v_uf": jnp.asarray(rng.normal(0, 0.1, (P, F)).astype(np.float32)),
+        "v_if": jnp.asarray(rng.normal(0, 0.1, (Q, F)).astype(np.float32)),
+    }
+    x_uf = jnp.asarray(rng.normal(0, 1, (U, P)).astype(np.float32))
+    x_if = jnp.asarray(rng.normal(0, 1, (I, Q)).astype(np.float32))
+    return w, x_uf, x_if
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_train_step_matches_single_device():
+    rng = np.random.default_rng(0)
+    U, I = 32, 48
+    w, x_uf, x_if = _toy(rng, U=U, I=I)
+
+    # history: each user has seen 2 items
+    pairs = np.stack([np.repeat(np.arange(U), 2),
+                      rng.integers(0, I, 2 * U)], 1).astype(np.int32)
+    pairs = np.unique(pairs, axis=0)
+    counts = np.bincount(pairs[:, 0], minlength=U)
+    offsets = np.zeros(U + 1, np.int32)
+    offsets[1:] = np.cumsum(counts)
+    flat = pairs[:, 1].astype(np.int32)
+
+    B = 64
+    u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
+    i = jnp.asarray(rng.integers(0, I, B).astype(np.int32))
+    sw = jnp.ones(B)
+    valid = jnp.ones(B, bool)
+    hist = {"offsets": jnp.asarray(offsets), "flat": jnp.asarray(flat),
+            "bitmap": jnp.zeros((1, 1), jnp.uint32)}
+    args = (x_uf, x_if, hist,
+            u, i, sw, valid, jnp.float32(0.1), jnp.float32(0.01),
+            jnp.float32(0.1), jax.random.PRNGKey(7))
+
+    step = make_train_step(I, 4, True, True)
+    w_ref, ll_ref = step({k: v.copy() for k, v in w.items()}, *args)
+
+    mesh = make_mesh(data=2, model=4)
+    w_sh = place_weights(mesh, {k: v.copy() for k, v in w.items()})
+    sstep = sharded_train_step(mesh, I, 4, True, True)
+    w_out, ll_out = sstep(w_sh, *args)
+
+    np.testing.assert_allclose(float(ll_out), float(ll_ref), rtol=1e-5)
+    for k in w_ref:
+        np.testing.assert_allclose(np.asarray(w_out[k]), np.asarray(w_ref[k]),
+                                   rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_sharded_topk_matches_single_device():
+    rng = np.random.default_rng(1)
+    U, I, F = 16, 48, 8
+    w, x_uf, x_if = _toy(rng, U=U, I=I, F=F)
+    u_idx = jnp.asarray(rng.permutation(U)[:8].astype(np.int32))
+    n = 5
+
+    ref_idx, ref_vals = topk_for_users(
+        w, x_uf, x_if, u_idx, n,
+        np.zeros(0, np.int32), np.zeros(0, np.int32))
+
+    mesh = make_mesh(data=2, model=4)
+    ur = scoring.user_reps(w, x_uf)
+    ir = scoring.item_reps(w, x_if)
+    ib = scoring.item_biases(w, x_if)
+    u_mat = jnp.concatenate([ur[u_idx], w["v_u"][u_idx]], -1)
+    i_mat = jnp.concatenate([w["v_i"], ir - w["v_i"]], -1)
+
+    fn = make_sharded_topk(mesh, n, I)  # I=48 divides by 4
+    got_idx, got_vals = fn(u_mat, i_mat, ib,
+                           jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32))
+    np.testing.assert_allclose(np.asarray(got_vals), np.asarray(ref_vals),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(ref_idx))
+
+
+def test_sharded_topk_filter_previous():
+    rng = np.random.default_rng(2)
+    U, I = 16, 48
+    w, x_uf, x_if = _toy(rng, U=U, I=I)
+    u_idx = jnp.asarray(np.arange(8, dtype=np.int32))
+    n = 5
+    # mask a couple of items per row
+    rows = np.repeat(np.arange(8, dtype=np.int32), 2)
+    cols = rng.integers(0, I, 16).astype(np.int32)
+
+    ref_idx, _ = topk_for_users(w, x_uf, x_if, u_idx, n,
+                                jnp.asarray(rows), jnp.asarray(cols))
+
+    mesh = make_mesh(data=2, model=4)
+    ur = scoring.user_reps(w, x_uf)
+    ir = scoring.item_reps(w, x_if)
+    ib = scoring.item_biases(w, x_if)
+    u_mat = jnp.concatenate([ur[u_idx], w["v_u"][u_idx]], -1)
+    i_mat = jnp.concatenate([w["v_i"], ir - w["v_i"]], -1)
+
+    fn = make_sharded_topk(mesh, n, I)
+    got_idx, _ = fn(u_mat, i_mat, ib, jnp.asarray(rows), jnp.asarray(cols))
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(ref_idx))
+    # masked items never recommended
+    for r in range(8):
+        banned = set(cols[rows == r].tolist())
+        assert not (set(np.asarray(got_idx)[r].tolist()) & banned)
+
+
+def test_weight_shardings_cover_pytree():
+    mesh = make_mesh(data=2, model=4)
+    ws = weight_shardings(mesh)
+    assert set(ws) == {"w_i", "w_if", "v_u", "v_i", "v_uf", "v_if"}
