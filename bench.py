@@ -38,9 +38,9 @@ def make_synthetic(rng):
     act = np.maximum(act, 5)
     users = np.repeat(np.arange(N_USERS), act)[:N_INTER]
     items = rng.choice(N_ITEMS, size=len(users), p=item_p)
-    df = np.stack([users, items], 1)
-    df = np.unique(df, axis=0)
-    return df.astype(np.int64)
+    # NOTE: pairs may repeat, exactly like a raw ratings log — the reference
+    # trains on the raw rows too (only the per-user history SET is deduped)
+    return np.stack([users, items], 1).astype(np.int64)
 
 
 def main():

@@ -40,13 +40,24 @@ def _next_pow2(n):
     return 1 << max(0, (int(n) - 1).bit_length())
 
 
+def _on_tpu():
+    """True when the default backend is TPU hardware (incl. tunneled
+    platforms like 'axon' that expose TPU devices)."""
+    try:
+        d = jax.devices()[0]
+    except Exception:
+        return False
+    return d.platform == "tpu" or "tpu" in str(getattr(d, "device_kind", "")).lower()
+
+
 class RankFM:
     """Factorization Machines for Ranking Problems with Implicit Feedback Data"""
 
     def __init__(self, factors=10, loss='bpr', max_samples=10, alpha=0.01, beta=0.1,
                  sigma=0.1, learning_rate=0.1, learning_schedule='constant',
                  learning_exponent=0.25, *, batch_size=None, seed=1492,
-                 sample_rounds=8, neg_sampler='auto', mesh=None):
+                 sample_rounds=8, neg_sampler='auto', use_fused='auto',
+                 mesh=None):
         """store hyperparameters and initialize internal model state
 
         :param factors: latent factor rank
@@ -69,6 +80,8 @@ class RankFM:
             'bitmap' (packed-row gather, fastest), 'bsearch' (CSR binary
             search, scales to huge catalogs), or 'auto' (bitmap when the
             packed bitmap fits in ~512 MB)
+        :param use_fused: use the fused Pallas training kernel when eligible
+            (no side features, tables fit VMEM): True / False / 'auto'
         :param mesh: optional `jax.sharding.Mesh` with axes ('data', 'model')
             for sharded tables/batches; None = single-device
         """
@@ -96,10 +109,13 @@ class RankFM:
 
         assert neg_sampler in ('auto', 'bitmap', 'bsearch'), \
             "[neg_sampler] must be in ('auto', 'bitmap', 'bsearch')"
+        assert use_fused in (True, False, 'auto'), \
+            "[use_fused] must be in (True, False, 'auto')"
         self.batch_size = batch_size
         self.seed = seed
         self.sample_rounds = sample_rounds
         self.neg_sampler = neg_sampler
+        self.use_fused = use_fused
         self.mesh = mesh
 
         self._reset_state()
@@ -139,6 +155,7 @@ class RankFM:
         self._flat_items_dev = None
         self._bitmap_dev = None
         self._sampler = None
+        self._packed_hist = None
 
         self._epoch_fn = None
         self._epoch_fn_key = None
@@ -234,6 +251,7 @@ class RankFM:
         self._ui_offsets, self._ui_items = offsets, items
         self._offsets_dev = jnp.asarray(offsets)
         self._flat_items_dev = jnp.asarray(items)
+        self._packed_hist = None  # fused-kernel history cache (rebuilt lazily)
 
         # membership strategy: packed bitmap when affordable (one row gather
         # per batch beats O(log nnz) binary-search rounds on TPU)
@@ -308,8 +326,9 @@ class RankFM:
             "v_uf": "user-feature factors [v_uf]",
             "v_if": "item-feature factors [v_if]",
         }
-        for k, label in names.items():
-            assert np.isfinite(np.sum(np.asarray(self._weights[k]))), \
+        sums = jax.device_get([jnp.sum(self._weights[k]) for k in names])
+        for (k, label), s in zip(names.items(), sums):
+            assert np.isfinite(s), \
                 f"{label} are not finite - try decreasing feature/sample_weight magnitudes"
 
     def _reg_penalty(self):
@@ -378,47 +397,101 @@ class RankFM:
         i[:n] = self.interactions[:, 1]
         sw[:n] = self.sample_weight
 
-        fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs, n_pad,
-                  self._sampler, tuple(v.shape for v in self._weights.values()))
-        if self._epoch_fn is None or self._epoch_fn_key != fn_key:
-            self._epoch_fn = make_epoch_fn(
-                num_items, max_samples, x_uf_any, x_if_any, bs,
-                sample_rounds=self.sample_rounds, sampler=self._sampler,
-            )
-            self._epoch_fn_key = fn_key
-
         u_dev, i_dev, sw_dev = jnp.asarray(u), jnp.asarray(i), jnp.asarray(sw)
         base_key = jax.random.PRNGKey(self.seed)
 
-        w = self._weights
-        import time as _time
-        for epoch in range(epochs):
-            if self.learning_schedule == 'constant':
-                eta = self.learning_rate
-            else:  # invscaling (validated in ctor)
-                eta = self.learning_rate / (epoch + 1) ** self.learning_exponent
+        # dispatch: fused Pallas kernel (tables in VMEM, one-hot MXU
+        # gather/scatter) when eligible, else the XLA step
+        from rankfm_tpu.ops import fused as fused_mod
+        U, F = len(self.user_idx), self.factors
+        fused_ok = (
+            self.use_fused in (True, 'auto')
+            and _on_tpu()
+            and bs >= 128 and bs % 128 == 0
+            and fused_mod.fused_eligible(U, num_items, F, x_uf_any, x_if_any)
+        )
 
-            t0 = _time.time()
-            w, ll = self._epoch_fn(
-                w, self._x_uf_dev, self._x_if_dev,
-                {"offsets": self._offsets_dev, "flat": self._flat_items_dev,
-                 "bitmap": self._bitmap_dev},
-                u_dev, i_dev, sw_dev, n,
-                jnp.float32(eta), jnp.float32(self.alpha), jnp.float32(self.beta),
-                jax.random.fold_in(base_key, epoch),
-            )
-            self._weights = w
-            self._assert_finite()
-            dt = _time.time() - t0
-            self.training_log_.append({
-                "epoch": epoch, "eta": eta, "log_likelihood": float(ll),
-                "seconds": dt, "interactions_per_s": n / dt if dt > 0 else float("inf"),
-            })
+        import time as _time
+
+        # Non-verbose fits defer ALL host syncs (finite guard, ll transfer)
+        # to the end of the epoch loop so epochs pipeline back-to-back on
+        # device; verbose keeps the reference's per-epoch reporting
+        # (`_rankfm.pyx:328-336`).
+        epoch_lls, epoch_secs = [], []
+
+        def _log_epoch(epoch, eta, ll, dt):
+            epoch_lls.append(ll)
+            epoch_secs.append(dt)
             if verbose:
+                self._assert_finite()
                 penalty = self._reg_penalty()
-                self.training_log_[-1]["penalized_log_likelihood"] = float(ll) - penalty
                 print("\ntraining epoch:", epoch)
                 print("log likelihood:", round(float(ll) - penalty, 2))
+
+        def _finish_epochs():
+            lls = [float(x) for x in jax.device_get(epoch_lls)]
+            self._assert_finite()
+            for epoch, (llv, dt) in enumerate(zip(lls, epoch_secs)):
+                self.training_log_.append({
+                    "epoch": epoch, "eta": _eta(epoch), "log_likelihood": llv,
+                    "seconds": dt,
+                    "interactions_per_s": n / dt if dt > 0 else float("inf"),
+                })
+
+        def _eta(epoch):
+            if self.learning_schedule == 'constant':
+                return self.learning_rate
+            return self.learning_rate / (epoch + 1) ** self.learning_exponent
+
+        if fused_ok:
+            U_pad = (U + 7) // 8 * 8
+            I_pad = (num_items + 127) // 128 * 128
+            if self._packed_hist is None:
+                self._packed_hist = jnp.asarray(fused_mod.pack_history_16(
+                    self._ui_offsets, self._ui_items, U, I_pad))
+            chunk = min(512, bs)
+            epoch_fn = fused_mod.make_fused_epoch_fn(
+                U, num_items, F, max_samples, bs, chunk=chunk)
+            w = self._weights
+            tab_u, tab_i = fused_mod.extend_tables(
+                w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad)
+            for epoch in range(epochs):
+                t0 = _time.time()
+                tab_u, tab_i, ll = epoch_fn(
+                    tab_u, tab_i, self._packed_hist, u_dev, i_dev, sw_dev, n,
+                    float(_eta(epoch)), float(self.alpha),
+                    jax.random.fold_in(base_key, epoch))
+                w_i_new, v_u_new, v_i_new = fused_mod.extract_tables(
+                    tab_u, tab_i, U, num_items, F)
+                self._weights = dict(self._weights,
+                                     w_i=w_i_new, v_u=v_u_new, v_i=v_i_new)
+                _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
+            _finish_epochs()
+        else:
+            fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs, n_pad,
+                      self._sampler, tuple(v.shape for v in self._weights.values()))
+            if self._epoch_fn is None or self._epoch_fn_key != fn_key:
+                self._epoch_fn = make_epoch_fn(
+                    num_items, max_samples, x_uf_any, x_if_any, bs,
+                    sample_rounds=self.sample_rounds, sampler=self._sampler,
+                )
+                self._epoch_fn_key = fn_key
+
+            w = self._weights
+            for epoch in range(epochs):
+                t0 = _time.time()
+                w, ll = self._epoch_fn(
+                    w, self._x_uf_dev, self._x_if_dev,
+                    {"offsets": self._offsets_dev, "flat": self._flat_items_dev,
+                     "bitmap": self._bitmap_dev},
+                    u_dev, i_dev, sw_dev, n,
+                    jnp.float32(_eta(epoch)), jnp.float32(self.alpha),
+                    jnp.float32(self.beta),
+                    jax.random.fold_in(base_key, epoch),
+                )
+                self._weights = w
+                _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
+            _finish_epochs()
 
         self.is_fit = True
         return self
