@@ -312,9 +312,22 @@ class RankFM:
         }
 
     def _auto_batch_size(self, n):
+        """Auto minibatch size.
+
+        Synchronous batches lose the sequential SGD's self-stabilizing
+        feedback: if an item row is touched k times in one batch, the k
+        correlated gradients apply at the SAME weights and can overshoot
+        (k ~ 2B/I for uniform negatives; sample weights scale the step).
+        Cap expected touches-per-item at ~4 / mean_sw^2 — empirically the
+        stability boundary on small catalogs, while leaving large-catalog
+        configs (e.g. ML-1M at B=8192) untouched.
+        """
         if self.batch_size is not None:
             return self.batch_size
-        return min(8192, _next_pow2(max(n, 1)))
+        num_items = max(len(self.item_idx), 1)
+        mean_sw = float(np.mean(self.sample_weight)) if len(self.sample_weight) else 1.0
+        stable_cap = max(256, _next_pow2(int(2 * num_items / max(mean_sw, 1.0) ** 2)))
+        return min(8192, _next_pow2(max(n, 1)), stable_cap)
 
     def _assert_finite(self):
         """per-fit divergence guard (`_rankfm.pyx:95-103, 328-329`)"""
@@ -406,6 +419,7 @@ class RankFM:
         U, F = len(self.user_idx), self.factors
         fused_ok = (
             self.use_fused in (True, 'auto')
+            and self.mesh is None
             and _on_tpu()
             and bs >= 128 and bs % 128 == 0
             and fused_mod.fused_eligible(U, num_items, F, x_uf_any, x_if_any)
@@ -469,12 +483,23 @@ class RankFM:
             _finish_epochs()
         else:
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs, n_pad,
-                      self._sampler, tuple(v.shape for v in self._weights.values()))
+                      self._sampler, self.mesh is not None,
+                      tuple(v.shape for v in self._weights.values()))
             if self._epoch_fn is None or self._epoch_fn_key != fn_key:
-                self._epoch_fn = make_epoch_fn(
-                    num_items, max_samples, x_uf_any, x_if_any, bs,
-                    sample_rounds=self.sample_rounds, sampler=self._sampler,
-                )
+                if self.mesh is not None:
+                    from rankfm_tpu.parallel.train import (
+                        make_sharded_epoch_fn, place_weights)
+                    self._epoch_fn = make_sharded_epoch_fn(
+                        self.mesh, num_items, max_samples, x_uf_any, x_if_any,
+                        bs, sample_rounds=self.sample_rounds,
+                        sampler=self._sampler,
+                    )
+                    self._weights = place_weights(self.mesh, self._weights)
+                else:
+                    self._epoch_fn = make_epoch_fn(
+                        num_items, max_samples, x_uf_any, x_if_any, bs,
+                        sample_rounds=self.sample_rounds, sampler=self._sampler,
+                    )
                 self._epoch_fn_key = fn_key
 
             w = self._weights
@@ -563,7 +588,12 @@ class RankFM:
         known_idx = user_idx[known].astype(np.int32)
 
         if n_items not in self._topk_fns:
-            self._topk_fns[n_items] = topk_fn(n_items)
+            if self.mesh is not None:
+                from rankfm_tpu.parallel.retrieval import make_sharded_recommend
+                self._topk_fns[n_items] = make_sharded_recommend(
+                    self.mesh, n_items, len(self.item_idx))
+            else:
+                self._topk_fns[n_items] = topk_fn(n_items)
         fn = self._topk_fns[n_items]
 
         out = np.full((len(user_idx), n_items), np.nan, dtype=np.float64)

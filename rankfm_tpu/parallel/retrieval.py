@@ -82,3 +82,34 @@ def make_sharded_topk(mesh, n_items, num_items_padded):
         check_vma=False,
     )
     return jax.jit(mapped)
+
+
+def make_sharded_recommend(mesh, n_items, num_items):
+    """Full model-facing sharded retrieval: builds the 2F user/item matrices
+    from the weight pytree, pads the item axis to the shard grid (pad bias
+    -inf so pad rows never surface), and runs the per-shard top-k merge.
+
+    Signature: ``fn(w, x_uf, x_if, u_idx, seen_rows, seen_cols)
+    -> (top_idx, top_vals)`` — same contract as `rankfm_tpu.ops.topk.topk_fn`.
+    """
+    import jax.numpy as jnp
+
+    from rankfm_tpu.ops import scoring
+
+    shards = mesh.shape["model"]
+    i_pad = (num_items + shards - 1) // shards * shards
+    topk = make_sharded_topk(mesh, n_items, i_pad)
+
+    def fn(w, x_uf, x_if, u_idx, seen_rows, seen_cols):
+        ur = scoring.user_reps(w, x_uf)
+        ir = scoring.item_reps(w, x_if)
+        ib = scoring.item_biases(w, x_if)
+        u_mat = jnp.concatenate([ur[u_idx], w["v_u"][u_idx]], axis=-1)
+        i_mat = jnp.concatenate([w["v_i"], ir - w["v_i"]], axis=-1)
+        pad = i_pad - num_items
+        if pad:
+            i_mat = jnp.pad(i_mat, ((0, pad), (0, 0)))
+            ib = jnp.pad(ib, (0, pad), constant_values=NEG_INF)
+        return topk(u_mat, i_mat, ib, seen_rows, seen_cols)
+
+    return jax.jit(fn)

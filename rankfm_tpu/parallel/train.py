@@ -89,3 +89,58 @@ def place_weights(mesh, w):
     """Device-put a weight pytree onto the mesh with the canonical layout."""
     ws = weight_shardings(mesh)
     return {k: jax.device_put(v, ws[k]) for k, v in w.items()}
+
+
+@lru_cache(maxsize=16)
+def _cached_sharded_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
+                          batch_size, sample_rounds, sampler):
+    from rankfm_tpu.ops.training import make_train_step
+
+    mesh = mesh_key.mesh
+    step = make_train_step(num_items, max_samples, x_uf_any, x_if_any,
+                           sample_rounds, sampler)
+    ws = weight_shardings(mesh)
+    fs = feature_shardings(mesh)
+    bs_sh = batch_sharding(mesh)
+    rep = NamedSharding(mesh, P())
+    hist_sh = {"offsets": rep, "flat": rep,
+               "bitmap": NamedSharding(mesh, P("model", None))
+               if sampler == "bitmap" else rep}
+
+    import jax.numpy as jnp
+
+    def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta, key):
+        n_pad = u.shape[0]
+        nb = n_pad // batch_size
+        kperm, ksamp = jax.random.split(key)
+        perm = jax.random.permutation(kperm, n_pad)
+        valid = perm < n_real
+        ub = u[perm].reshape(nb, batch_size)
+        ib = i[perm].reshape(nb, batch_size)
+        swb = sw[perm].reshape(nb, batch_size)
+        vb = valid.reshape(nb, batch_size)
+
+        def body(carry, xs):
+            wc = carry
+            ub_, ib_, swb_, vb_, t = xs
+            wc, ll = step(wc, x_uf, x_if, hist, ub_, ib_, swb_, vb_,
+                          eta, alpha, beta, jax.random.fold_in(ksamp, t))
+            return wc, ll
+
+        w, lls = jax.lax.scan(body, w, (ub, ib, swb, vb, jnp.arange(nb)))
+        return w, jnp.sum(lls)
+
+    in_shardings = (ws, fs["x_uf"], fs["x_if"], hist_sh,
+                    bs_sh, bs_sh, bs_sh, rep, rep, rep, rep)
+    return jax.jit(epoch_fn, static_argnums=(7,), donate_argnums=(0,),
+                   in_shardings=in_shardings, out_shardings=(ws, rep))
+
+
+def make_sharded_epoch_fn(mesh, num_items, max_samples, x_uf_any, x_if_any,
+                          batch_size, sample_rounds=8, sampler="bsearch"):
+    """Whole-epoch training compiled over the mesh: tables stay row-sharded
+    across devices for the entire epoch scan; same signature as
+    `rankfm_tpu.ops.training.make_epoch_fn`."""
+    return _cached_sharded_epoch(_MeshKey(mesh), num_items, max_samples,
+                                 bool(x_uf_any), bool(x_if_any), batch_size,
+                                 sample_rounds, sampler)

@@ -1,0 +1,86 @@
+"""Fused-kernel tests. Host-side helpers run everywhere; the Mosaic kernel
+itself needs TPU hardware and is exercised by the TPU parity drives (see
+.claude/skills/verify) — here we gate it behind a skip."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rankfm_tpu.ops import fused
+
+
+def test_pack_history_16_layout():
+    """column-major 16-bit pack: item i -> lane i % W, bit i // W"""
+    U, I_pad = 5, 64
+    W = I_pad // 16
+    rng = np.random.default_rng(0)
+    sets = [np.sort(rng.choice(I_pad, size=rng.integers(0, 20), replace=False))
+            for _ in range(U)]
+    offsets = np.zeros(U + 1, np.int32)
+    offsets[1:] = np.cumsum([len(s) for s in sets])
+    flat = (np.concatenate(sets).astype(np.int32) if offsets[-1]
+            else np.zeros(0, np.int32))
+    packed = fused.pack_history_16(offsets, flat, U, I_pad)
+    assert packed.shape == (U, W)
+    for u in range(U):
+        for i in range(I_pad):
+            bit = (packed[u, i % W] >> (i // W)) & 1
+            assert bool(bit) == (i in sets[u]), (u, i)
+    assert packed.max() < 2**16  # exact in f32 arithmetic
+
+
+def test_extend_extract_roundtrip():
+    rng = np.random.default_rng(1)
+    U, I, F = 11, 19, 7
+    w_i = jnp.asarray(rng.normal(size=I).astype(np.float32))
+    v_u = jnp.asarray(rng.normal(size=(U, F)).astype(np.float32))
+    v_i = jnp.asarray(rng.normal(size=(I, F)).astype(np.float32))
+    tu, ti = fused.extend_tables(w_i, v_u, v_i, 16, 128)
+    # bias column conventions
+    np.testing.assert_allclose(np.asarray(tu[:U, F]), 1.0)
+    np.testing.assert_allclose(np.asarray(ti[:I, F]), np.asarray(w_i))
+    # utility = 128-lane dot
+    s = np.asarray(tu[:U] @ ti[:I].T)
+    want = np.asarray(v_u @ v_i.T + w_i[None, :])
+    np.testing.assert_allclose(s, want, rtol=1e-5, atol=1e-5)
+    w2, vu2, vi2 = fused.extract_tables(tu, ti, U, I, F)
+    np.testing.assert_array_equal(np.asarray(w2), np.asarray(w_i))
+    np.testing.assert_array_equal(np.asarray(vu2), np.asarray(v_u))
+    np.testing.assert_array_equal(np.asarray(vi2), np.asarray(v_i))
+
+
+def test_fused_eligible():
+    assert fused.fused_eligible(6040, 3706, 20, False, False)
+    assert not fused.fused_eligible(6040, 3706, 20, True, False)   # features
+    assert not fused.fused_eligible(6040, 3706, 127, False, False)  # F too big
+    assert not fused.fused_eligible(10_000_000, 1_000_000, 64, False, False)
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
+                    reason="Mosaic kernel needs TPU hardware")
+def test_fused_batch_trains():
+    rng = np.random.default_rng(2)
+    U, I, F, M, B = 64, 128, 8, 4, 128
+    pairs = np.stack([np.arange(U).repeat(2), rng.integers(0, I, 2 * U)], 1).astype(np.int32)
+    pairs = np.unique(pairs, axis=0)
+    counts = np.bincount(pairs[:, 0], minlength=U)
+    offsets = np.zeros(U + 1, np.int32)
+    offsets[1:] = np.cumsum(counts)
+    packed = jnp.asarray(fused.pack_history_16(offsets, pairs[:, 1], U, 128))
+    tu, ti = fused.extend_tables(
+        jnp.zeros(I), jnp.asarray(rng.normal(0, 0.1, (U, F)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (I, F)).astype(np.float32)), 64, 128)
+    n = len(pairs)
+    u = np.zeros(B, np.int32); i = np.zeros(B, np.int32); sw = np.zeros(B, np.float32)
+    u[:n] = pairs[:, 0]; i[:n] = pairs[:, 1]; sw[:n] = 1.0
+    epoch = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128, donate=False)
+    lls = []
+    for e in range(10):
+        tu, ti, ll = epoch(tu, ti, packed, jnp.asarray(u), jnp.asarray(i),
+                           jnp.asarray(sw), n, 0.1, 0.01,
+                           jax.random.PRNGKey(e))
+        lls.append(float(ll))
+    assert np.isfinite(lls).all()
+    assert lls[-1] > lls[0]  # log-likelihood improves

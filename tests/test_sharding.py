@@ -132,3 +132,44 @@ def test_weight_shardings_cover_pytree():
     mesh = make_mesh(data=2, model=4)
     ws = weight_shardings(mesh)
     assert set(ws) == {"w_i", "w_if", "v_u", "v_i", "v_uf", "v_if"}
+
+
+def test_model_end_to_end_on_mesh():
+    """public API with mesh: fit + predict + recommend + filter_previous,
+    results consistent with the single-device model at metric level"""
+    import pandas as pd
+    from rankfm_tpu import RankFM, evaluation
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for u in range(48):
+        g = u % 2
+        own = rng.choice(np.arange(g * 16, (g + 1) * 16), 8, replace=False)
+        for it in own:
+            rows.append((u, it))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id"])
+    train = df.sample(frac=0.75, random_state=0)
+    test = df.drop(train.index)
+
+    mesh = make_mesh(data=2, model=4)
+    m = RankFM(factors=4, loss="warp", max_samples=4, learning_rate=0.1,
+               batch_size=128, mesh=mesh)
+    m.fit(train, epochs=8)
+    assert m.is_fit
+
+    scores = m.predict(train.head(10))
+    assert scores.shape == (10,) and not np.isnan(scores).any()
+
+    recs = m.recommend(np.arange(48), n_items=4, filter_previous=True)
+    assert recs.shape == (48, 4)
+    # filtered recs exclude training items
+    tr_sets = train.groupby("user_id")["item_id"].apply(set)
+    for u in range(48):
+        assert not (set(recs.loc[u]) & tr_sets.get(u, set()))
+
+    hr = evaluation.hit_rate(m, test, k=8)
+    m0 = RankFM(factors=4, loss="warp", max_samples=4, learning_rate=0.1,
+                batch_size=128)
+    m0.fit(train, epochs=8)
+    hr0 = evaluation.hit_rate(m0, test, k=8)
+    assert hr > 0.2 and abs(hr - hr0) < 0.35, (hr, hr0)
