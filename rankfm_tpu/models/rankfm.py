@@ -35,6 +35,11 @@ from rankfm_tpu.utils.data import (
 
 _RECOMMEND_CHUNK = 4096
 
+# ONE fused device reduction for the per-fit finite guard (6 separate eager
+# sums would each pay a dispatch round trip on remote links)
+_finite_sums = jax.jit(
+    lambda w: {k: jnp.sum(v) for k, v in w.items()})
+
 
 def _next_pow2(n):
     return 1 << max(0, (int(n) - 1).bit_length())
@@ -231,8 +236,20 @@ class RankFM:
         assert isinstance(interactions, (np.ndarray, pd.DataFrame)), "[interactions] must be np.ndarray or pd.dataframe"
         assert interactions.shape[1] == 2, "[interactions] should be: [user_id, item_id]"
 
-        pairs, keep = map_interactions(interactions, self.user_to_index, self.item_to_index)
-        self.interactions = pairs
+        prev_csr = (self._ui_offsets, self._ui_items) if self.is_fit else None
+        ingested = self._native_ingest(interactions, prev_csr)
+        if ingested is not None:
+            pairs, keep, offsets, items = ingested
+            self.interactions = pairs
+        else:
+            pairs, keep = map_interactions(interactions, self.user_to_index, self.item_to_index)
+            self.interactions = pairs
+            offsets, items = build_user_items_csr(pairs, len(self.user_idx))
+            if prev_csr is not None:
+                # fit_partial: union with previous histories (`rankfm.py:170-172`)
+                offsets, items = merge_user_items_csr(
+                    prev_csr[0], prev_csr[1], offsets, items, len(self.user_idx)
+                )
 
         if sample_weight is not None:
             assert isinstance(sample_weight, (np.ndarray, pd.Series)), "[sample_weight] must be np.ndarray or pd.series"
@@ -241,30 +258,47 @@ class RankFM:
             self.sample_weight = np.ascontiguousarray(get_data(sample_weight)[keep], dtype=np.float32)
         else:
             self.sample_weight = np.ones(len(self.interactions), dtype=np.float32)
-
-        offsets, items = build_user_items_csr(pairs, len(self.user_idx))
-        if self.is_fit:
-            # fit_partial: union with the previously observed histories (`rankfm.py:170-172`)
-            offsets, items = merge_user_items_csr(
-                self._ui_offsets, self._ui_items, offsets, items, len(self.user_idx)
-            )
         self._ui_offsets, self._ui_items = offsets, items
         self._offsets_dev = jnp.asarray(offsets)
         self._flat_items_dev = jnp.asarray(items)
         self._packed_hist = None  # fused-kernel history cache (rebuilt lazily)
 
         # membership strategy: packed bitmap when affordable (one row gather
-        # per batch beats O(log nnz) binary-search rounds on TPU)
+        # per batch beats O(log nnz) binary-search rounds on TPU); the bitmap
+        # itself is built lazily — only the XLA step reads it, and the fused
+        # kernel path never needs it
         U, I = len(self.user_idx), len(self.item_idx)
         words = (I + 31) // 32
         if self.neg_sampler == 'bitmap' or (
                 self.neg_sampler == 'auto' and U * words * 4 <= 512 * 2**20):
-            from rankfm_tpu.ops.negatives import build_bitmap_words
             self._sampler = 'bitmap'
-            self._bitmap_dev = jnp.asarray(build_bitmap_words(offsets, items, U, I))
         else:
             self._sampler = 'bsearch'
-            self._bitmap_dev = jnp.zeros((1, 1), dtype=jnp.uint32)
+        self._bitmap_dev = None
+
+    def _ensure_bitmap(self):
+        """Build the packed membership bitmap on first XLA-path use."""
+        if self._bitmap_dev is None:
+            if self._sampler == 'bitmap':
+                from rankfm_tpu.ops.negatives import build_bitmap_words
+                self._bitmap_dev = jnp.asarray(build_bitmap_words(
+                    self._ui_offsets, self._ui_items,
+                    len(self.user_idx), len(self.item_idx)))
+            else:
+                self._bitmap_dev = jnp.zeros((1, 1), dtype=jnp.uint32)
+        return self._bitmap_dev
+
+    def _native_ingest(self, interactions, prev_csr):
+        """One-pass C++ map+filter+CSR ingest (int ids only); None -> fallback."""
+        from rankfm_tpu.utils.data import _int64_view
+        from rankfm_tpu import native
+        arr = get_data(interactions)
+        u_raw, i_raw = _int64_view(arr[:, 0]), _int64_view(arr[:, 1])
+        uids = _int64_view(self.user_to_index.index.values)
+        iids = _int64_view(self.item_to_index.index.values)
+        if u_raw is None or i_raw is None or uids is None or iids is None:
+            return None
+        return native.ingest(u_raw, i_raw, uids, iids, prev_csr)
 
     def _init_features(self, user_features=None, item_features=None):
         """store user/item feature matrices row-ordered by index (`rankfm.py:181-211`)"""
@@ -339,9 +373,9 @@ class RankFM:
             "v_uf": "user-feature factors [v_uf]",
             "v_if": "item-feature factors [v_if]",
         }
-        sums = jax.device_get([jnp.sum(self._weights[k]) for k in names])
-        for (k, label), s in zip(names.items(), sums):
-            assert np.isfinite(s), \
+        sums = jax.device_get(_finite_sums(self._weights))
+        for k, label in names.items():
+            assert np.isfinite(sums[k]), \
                 f"{label} are not finite - try decreasing feature/sample_weight magnitudes"
 
     def _reg_penalty(self):
@@ -410,7 +444,6 @@ class RankFM:
         i[:n] = self.interactions[:, 1]
         sw[:n] = self.sample_weight
 
-        u_dev, i_dev, sw_dev = jnp.asarray(u), jnp.asarray(i), jnp.asarray(sw)
         base_key = jax.random.PRNGKey(self.seed)
 
         # dispatch: fused Pallas kernel (tables in VMEM, one-hot MXU
@@ -459,27 +492,35 @@ class RankFM:
 
         if fused_ok:
             U_pad = (U + 7) // 8 * 8
-            I_pad = (num_items + 127) // 128 * 128
+            I_pad = fused_mod.item_pad(num_items)
             if self._packed_hist is None:
-                self._packed_hist = jnp.asarray(fused_mod.pack_history_16(
-                    self._ui_offsets, self._ui_items, U, I_pad))
+                self._packed_hist = fused_mod.pack_history_device(
+                    self._ui_offsets, self._ui_items, U, num_items)
             chunk = min(512, bs)
-            epoch_fn = fused_mod.make_fused_epoch_fn(
-                U, num_items, F, max_samples, bs, chunk=chunk)
             w = self._weights
             tab_u, tab_i = fused_mod.extend_tables(
                 w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad)
+            rec_dev = jnp.asarray(fused_mod.make_records(u, i, sw, n))
+            epoch_fn = fused_mod.make_fused_epoch_fn(
+                U, num_items, F, max_samples, bs, chunk=chunk)
             for epoch in range(epochs):
                 t0 = _time.time()
                 tab_u, tab_i, ll = epoch_fn(
-                    tab_u, tab_i, self._packed_hist, u_dev, i_dev, sw_dev, n,
+                    tab_u, tab_i, self._packed_hist, rec_dev,
                     float(_eta(epoch)), float(self.alpha),
-                    jax.random.fold_in(base_key, epoch))
-                w_i_new, v_u_new, v_i_new = fused_mod.extract_tables(
-                    tab_u, tab_i, U, num_items, F)
-                self._weights = dict(self._weights,
-                                     w_i=w_i_new, v_u=v_u_new, v_i=v_i_new)
+                    base_key, epoch)
+                if verbose:
+                    # reference-style live epoch reporting needs the weights
+                    # pulled back each epoch (`_rankfm.pyx:328-336`)
+                    w_i_new, v_u_new, v_i_new = fused_mod.extract_tables(
+                        tab_u, tab_i, U, num_items, F)
+                    self._weights = dict(self._weights,
+                                         w_i=w_i_new, v_u=v_u_new, v_i=v_i_new)
                 _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
+            w_i_new, v_u_new, v_i_new = fused_mod.extract_tables(
+                tab_u, tab_i, U, num_items, F)
+            self._weights = dict(self._weights,
+                                 w_i=w_i_new, v_u=v_u_new, v_i=v_i_new)
             _finish_epochs()
         else:
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs, n_pad,
@@ -503,16 +544,17 @@ class RankFM:
                 self._epoch_fn_key = fn_key
 
             w = self._weights
+            bitmap = self._ensure_bitmap()
+            u_dev, i_dev, sw_dev = jnp.asarray(u), jnp.asarray(i), jnp.asarray(sw)
             for epoch in range(epochs):
                 t0 = _time.time()
                 w, ll = self._epoch_fn(
                     w, self._x_uf_dev, self._x_if_dev,
                     {"offsets": self._offsets_dev, "flat": self._flat_items_dev,
-                     "bitmap": self._bitmap_dev},
+                     "bitmap": bitmap},
                     u_dev, i_dev, sw_dev, n,
-                    jnp.float32(_eta(epoch)), jnp.float32(self.alpha),
-                    jnp.float32(self.beta),
-                    jax.random.fold_in(base_key, epoch),
+                    float(_eta(epoch)), float(self.alpha), float(self.beta),
+                    base_key, epoch,
                 )
                 self._weights = w
                 _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)

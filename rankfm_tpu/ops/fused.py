@@ -1,33 +1,37 @@
 """Fused Pallas WARP/BPR training kernel — the flagship TPU-native hot loop.
 
 Replaces the per-step XLA graph (gathers, candidate scoring, scatter-adds —
-each a separate HBM-bound kernel with ~0.3-1 ms launch+access overhead) with
-ONE Mosaic kernel per minibatch in which:
+each a separate HBM-bound kernel) with ONE Mosaic kernel per minibatch in
+which the user and item tables live in VMEM scratch for the whole batch, so
+every "gather"/"scatter-add" is a one-hot bf16 matmul on the MXU and random
+HBM access is eliminated.
 
-* the user and item tables live in VMEM scratch for the whole batch
-  (persisted across grid steps), so every "gather"/"scatter-add" is a small
-  one-hot bf16 matmul on the MXU — random HBM access is eliminated;
-* the item bias ``w_i`` rides as an extra table column: tables are
-  ``[*, 128]`` with factors in cols ``0..F-1``, col ``F`` = bias (items) or
-  the constant 1 (users), so the FM utility is a single 128-lane dot;
-* WARP sampling is reformulated *exactly* through the full score row:
-  with per-user scores for ALL items ([C, I] matmul) and the history mask,
-  the reference's sequential rejection loop (`_rankfm.pyx:244-270`) is
-  equivalent to: draw ``sampled ~ 1 + Geometric(p)`` with
-  ``p = |violators| / |non-members|``; if ``sampled <= max_samples`` pick a
-  UNIFORM violator (via masked-random argmax), else pick the hardest
-  (min-pairwise) non-violating non-member — no candidate gathers at all;
-* user histories are bit-packed COLUMN-MAJOR, 16 bits per int32 lane
-  (``item i -> lane i mod W, bit i div W``), because `pltpu.repeat` tiles
-  along lanes; 16 bits keeps values < 2^24 so the float bit-extraction
-  arithmetic is exact;
+Design (v2 — windowed negative domain):
+
+* tables are ``[*, 128]`` with factors in cols ``0..F-1``, col ``F`` = item
+  bias (item table) or the constant 1 (user table), so the FM utility is a
+  single 128-lane dot (see `extend_tables`);
+* WARP negative sampling per 128-row chunk is restricted to ONE random
+  contiguous block of ``BLK`` items (the "window"), re-drawn per chunk.
+  Within the window the reference's sequential rejection loop
+  (`/root/reference/rankfm/_rankfm.pyx:244-270`) is reformulated exactly:
+  draw ``sampled ~ 1 + Geometric(p)`` with ``p = |violators| / |non-members|``
+  estimated on the window; if ``sampled <= max_samples`` pick a UNIFORM
+  window violator, else the hardest (min-pairwise) non-violating non-member.
+  The window turns every O(I) selection pass into O(BLK) — the same
+  statistical move the reference makes by only ever LOOKING at
+  ``max_samples`` random candidates instead of the full catalog;
+* for BPR (``max_samples == 1``) the violator machinery is skipped entirely
+  and ``j`` is a uniform non-member of the window — exactly the reference's
+  single uniform draw (`rankfm.py:294-297`);
+* membership tests come from a 16-bit blocked bit-pack of the user history
+  (`pack_history`): integer lane-variable shifts, no transcendentals;
 * per-touch L2 decay (`_rankfm.pyx:279-326`) is applied with exact per-chunk
-  touch counts (one-hot count matmuls), linearized within a 128-row chunk
-  (counts are tiny, error O(count^2 * (2*alpha*eta)^2)).
+  touch counts (one-hot count matmuls), linearized within a chunk.
 
-Eligibility: no side features (the reference's feature terms are exercised
-via the XLA path), factors <= 126, and both extended tables fitting the VMEM
-budget. The public `RankFM.fit` auto-dispatches.
+Eligibility: no side features (the reference's feature terms run via the XLA
+path), factors <= 126, and both extended tables fitting the VMEM budget.
+`RankFM.fit` auto-dispatches.
 """
 
 from __future__ import annotations
@@ -45,10 +49,23 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 BITS_PER_LANE = 16
 MARGIN = 1.0
+MAX_BLK = 1024
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+def block_size(num_items):
+    """Window block size: a POWER OF TWO in [128, 1024] (the kernel's bit
+    extraction uses lane-index shifts, so BLK/16 must be a power of two)."""
+    p = 1 << max(LANES.bit_length() - 1, (max(num_items, 1) - 1).bit_length())
+    return min(MAX_BLK, p)
+
+
+def item_pad(num_items):
+    """Item-table padding: a whole number of window blocks."""
+    return _round_up(max(num_items, 1), block_size(num_items))
 
 
 def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
@@ -57,25 +74,79 @@ def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
     if x_uf_any or x_if_any or factors > LANES - 2:
         return False
     u_pad = _round_up(num_users, 8)
-    i_pad = _round_up(num_items, LANES)
+    i_pad = item_pad(num_items)
     return (u_pad + i_pad) * LANES * 4 <= vmem_table_budget
 
 
-def pack_history_16(offsets, flat_items, num_users, i_pad):
-    """Column-major 16-bit history pack: item ``i`` lives at int32 lane
-    ``i % W`` bit ``i // W`` where ``W = i_pad / 16``. Pad items (>= I) are
-    left 0 and masked inside the kernel via the column iota."""
-    W = i_pad // BITS_PER_LANE
-    bits = np.zeros((num_users, i_pad), dtype=np.int32)
+def _pack_coords(items, blk):
+    """item index -> (lane, bit) in the blocked 16-bit pack.
+
+    Block ``b = i // blk`` occupies lanes ``[b*LW, (b+1)*LW)`` with
+    ``LW = blk/16``; within the block, item ``j`` lives at lane ``j % LW``,
+    bit ``j // LW`` — chosen so that `pltpu.repeat` (which TILES along
+    lanes) reconstructs bit ``L // LW`` of word ``L % LW`` at window lane
+    ``L``, i.e. exactly item ``L``.
+    """
+    lw = blk // BITS_PER_LANE
+    b = items // blk
+    j = items - b * blk
+    return b * lw + (j % lw), j // lw
+
+
+def pack_history(offsets, flat_items, num_users, num_items):
+    """Host-side blocked 16-bit history pack -> int32 [U, NBLK*BLK/16].
+
+    Items ``>= num_items`` (window padding) are marked as members for every
+    user so they can never be drawn as negatives.
+    """
+    blk = block_size(num_items)
+    i_pad = item_pad(num_items)
+    w = i_pad // BITS_PER_LANE
+    packed = np.zeros((num_users, w), dtype=np.int32)
     counts = np.diff(offsets).astype(np.int64)
     users = np.repeat(np.arange(num_users, dtype=np.int64), counts)
-    bits[users, flat_items.astype(np.int64)] = 1
-    packed = np.zeros((num_users, W), dtype=np.int32)
-    for k in range(BITS_PER_LANE):
-        packed |= bits[:, k * W:(k + 1) * W] << k
+    lane, bit = _pack_coords(flat_items.astype(np.int64), blk)
+    np.bitwise_or.at(packed, (users, lane), np.int32(1) << bit)
+    packed |= pad_row(num_items)[None, :]
     return packed
 
 
+def pad_row(num_items):
+    """int32 [W] row with the bits of pad items (>= num_items) set."""
+    blk = block_size(num_items)
+    i_pad = item_pad(num_items)
+    w = i_pad // BITS_PER_LANE
+    row = np.zeros(w, dtype=np.int32)
+    pads = np.arange(num_items, i_pad, dtype=np.int64)
+    lane, bit = _pack_coords(pads, blk)
+    np.bitwise_or.at(row, lane, np.int32(1) << bit)
+    return row
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _pack_scatter(users, items, padrow, num_users, blk):
+    lw = blk // BITS_PER_LANE
+    b = items // blk
+    j = items - b * blk
+    lane = b * lw + (j % lw)
+    bit = j // lw
+    packed = jnp.zeros((num_users, padrow.shape[0]), dtype=jnp.int32).at[
+        users, lane].add(jnp.int32(1) << bit, mode="drop")
+    return packed | padrow[None, :]
+
+
+def pack_history_device(offsets, flat_items, num_users, num_items):
+    """Device-side history pack (one XLA scatter instead of a host loop)."""
+    blk = block_size(num_items)
+    counts = np.diff(np.asarray(offsets)).astype(np.int64)
+    users = np.repeat(np.arange(num_users, dtype=np.int32), counts)
+    return _pack_scatter(jnp.asarray(users),
+                         jnp.asarray(flat_items, dtype=jnp.int32),
+                         jnp.asarray(pad_row(num_items)),
+                         num_users, blk)
+
+
+@partial(jax.jit, static_argnums=(3, 4))
 def extend_tables(w_i, v_u, v_i, u_pad, i_pad):
     """[U,F]/[I,F]/[I] -> [U_pad,128] (col F = 1) and [I_pad,128] (col F = w_i)."""
     F = v_u.shape[1]
@@ -96,12 +167,28 @@ def extract_tables(tab_u, tab_i, num_users, num_items, factors):
     return w_i, v_u, v_i
 
 
-def _kernel(u_ref, i_ref, swv_ref, mask_ref, vu_in, vi_in,
+def make_records(u, i, sw, n_real):
+    """Pack padded interaction columns into one int32 [n_pad, 4] record array
+    ``[u, i, bits(sw), bits(valid)]`` — the epoch shuffle then needs a single
+    row gather instead of three scalar gathers plus a concat."""
+    n_pad = len(u)
+    rec = np.empty((n_pad, 4), dtype=np.int32)
+    rec[:, 0] = u
+    rec[:, 1] = i
+    rec[:, 2] = np.asarray(sw, dtype=np.float32).view(np.int32)
+    valid = np.zeros(n_pad, dtype=np.float32)
+    valid[:n_real] = 1.0
+    rec[:, 3] = valid.view(np.int32)
+    return rec
+
+
+def _kernel(rec_ref, mask_ref, blk_ref, vu_in, vi_in,
             seed_ref, eta_ref, dreg_ref,
             vu_out, vi_out, ll_out,
             tab_u, tab_i, ll_acc, copy_sem,
-            *, U_pad, I_pad, F, M, C, num_items):
-    W = I_pad // BITS_PER_LANE
+            *, U_pad, I_pad, F, M, C, BLK, num_items):
+    LW = BLK // BITS_PER_LANE
+    lg_lw = LW.bit_length() - 1
     t = pl.program_id(0)
     nT = pl.num_programs(0)
     log_I = math.log(num_items)
@@ -118,12 +205,16 @@ def _kernel(u_ref, i_ref, swv_ref, mask_ref, vu_in, vi_in,
 
     pltpu.prng_seed(seed_ref[0] + t)
 
-    u = u_ref[:]                                     # [C,1] int32
-    i = i_ref[:]
-    sw = swv_ref[:, 0:1]                             # [C,1] f32 sample weight
-    valid = swv_ref[:, 1:2]                          # [C,1] f32 0/1
+    u = rec_ref[:, 0:1]                              # [C,1] int32
+    i = rec_ref[:, 1:2]
+    sw = pltpu.bitcast(rec_ref[:, 2:3], jnp.float32)     # [C,1] sample weight
+    valid = pltpu.bitcast(rec_ref[:, 3:4], jnp.float32)  # [C,1] 0.0/1.0
     eta = eta_ref[0]
     dreg = dreg_ref[0]                               # eta * 2 * alpha
+    boff = blk_ref[0] * BLK                          # window start (per batch)
+
+    tab_ib = tab_i[:].astype(jnp.bfloat16)           # [I_pad,128]
+    tw = tab_i[pl.ds(boff, BLK), :].astype(jnp.bfloat16)   # [BLK,128] window
 
     # ---- one-hot gathers (MXU) ----
     cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, U_pad), 1)
@@ -132,90 +223,103 @@ def _kernel(u_ref, i_ref, swv_ref, mask_ref, vu_in, vi_in,
                      preferred_element_type=jnp.float32)          # [C,128]
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, I_pad), 1)
     oh_i = ((i == cols_i).astype(jnp.float32) * valid).astype(jnp.bfloat16)
-    i_rows = jnp.dot(oh_i, tab_i[:].astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)
+    i_rows = jnp.dot(oh_i, tab_ib, preferred_element_type=jnp.float32)
+    ut_ui = jnp.sum(u_rows * i_rows, axis=1, keepdims=True)       # [C,1]
 
-    # ---- score ALL items; pairwise utility row ----
-    all_s = jax.lax.dot_general(
-        u_rows.astype(jnp.bfloat16), tab_i[:].astype(jnp.bfloat16),
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [C,I_pad]
-    ut_ui = jnp.sum(u_rows * i_rows, axis=1, keepdims=True)            # [C,1]
-    pw = ut_ui - all_s                                                 # [C,I_pad]
+    # ---- score the window; pairwise utility over the window ----
+    all_w = jax.lax.dot_general(
+        u_rows.astype(jnp.bfloat16), tw,
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [C,BLK]
+    pw = ut_ui - all_w                                                 # [C,BLK]
 
-    # ---- history membership from packed bits ----
-    v = pltpu.repeat(mask_ref[:].astype(jnp.float32), BITS_PER_LANE, axis=1)
-    kbit = (cols_i // W).astype(jnp.float32)
-    tb = jnp.floor(v * jnp.exp2(-kbit))
-    member = tb - 2.0 * jnp.floor(tb * 0.5)                            # 1.0 = seen
-    member = jnp.where(cols_i < num_items, member, 1.0)                # pad = seen
+    # ---- window membership from packed bits (int ops only) ----
+    v = pltpu.repeat(mask_ref[:], BITS_PER_LANE, axis=1)               # [C,BLK]
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1)
+    nonmem = ((v >> (col >> lg_lw)) & 1) == 0                          # [C,BLK]
 
-    nonmem = 1.0 - member
-    violf = nonmem * (pw < MARGIN).astype(jnp.float32)
-    nv = jnp.sum(violf, axis=1, keepdims=True)                         # [C,1]
-    n_nonmem = jnp.sum(nonmem, axis=1, keepdims=True)
+    u01 = (pltpu.bitcast(pltpu.prng_random_bits((C, BLK)), jnp.int32)
+           .astype(jnp.float32) * (2.0 ** -32) + 0.5)                  # U[0,1)
 
-    # ---- exact WARP draw count: sampled ~ min(M, 1 + Geometric(p)) ----
-    rbits = pltpu.bitcast(pltpu.prng_random_bits((C, LANES)), jnp.int32)
-    r1 = rbits[:, 0:1].astype(jnp.float32) * (2.0 ** -32) + 0.5        # U[0,1)
-    p = nv / jnp.maximum(n_nonmem, 1.0)
-    p_c = jnp.clip(p, 1e-9, 1.0 - 1e-7)
-    geo = jnp.floor(jnp.log(jnp.maximum(1.0 - r1, 1e-30))
-                    / jnp.log(1.0 - p_c)) + 1.0
-    geo = jnp.where(nv > 0, geo, jnp.float32(M))
-    found = ((nv > 0) & (geo <= M)).astype(jnp.float32)                # [C,1]
-    sampled = jnp.minimum(geo, jnp.float32(M))
+    if M == 1:
+        # BPR: j = uniform window non-member (`rankfm.py:294-297`)
+        key = jnp.where(nonmem, u01, -jnp.inf)
+        mult_c = math.log(max(num_items - 1, 1)) / log_I
+        mult = jnp.full((C, 1), mult_c, jnp.float32)
+    else:
+        viol = (pw < MARGIN) & nonmem                                  # [C,BLK]
+        violf = viol.astype(jnp.float32)
+        nonmemf = nonmem.astype(jnp.float32)
+        nv = jnp.sum(violf, axis=1, keepdims=True)                     # [C,1]
+        n_nonmem = jnp.sum(nonmemf, axis=1, keepdims=True)
 
-    # ---- select j: uniform violator (found) / hardest non-violator (else) ----
-    big = pltpu.bitcast(pltpu.prng_random_bits((C, I_pad)), jnp.int32)
-    u01 = big.astype(jnp.float32) * (2.0 ** -32) + 0.5
-    key_found = jnp.where(violf > 0, u01, -jnp.inf)
-    mx_f = jnp.max(key_found, axis=1, keepdims=True)
-    oh_f = ((key_found == mx_f) & (violf > 0)).astype(jnp.float32)
-    nonviol = nonmem * (1.0 - violf)
-    key_fb = jnp.where(nonviol > 0, -pw, -jnp.inf)
-    mx_b = jnp.max(key_fb, axis=1, keepdims=True)
-    oh_b = ((key_fb == mx_b) & (nonviol > 0)).astype(jnp.float32)
-    oh_j = jnp.where(found > 0, oh_f, oh_b) * valid                    # [C,I_pad]
+        # exact WARP draw count: sampled ~ min(M, 1 + Geometric(p))
+        rbits = pltpu.bitcast(pltpu.prng_random_bits((C, LANES)), jnp.int32)
+        r1 = rbits[:, 0:1].astype(jnp.float32) * (2.0 ** -32) + 0.5
+        p = nv / jnp.maximum(n_nonmem, 1.0)
+        p_c = jnp.clip(p, 1e-9, 1.0 - 1e-7)
+        geo = jnp.floor(jnp.log(jnp.maximum(1.0 - r1, 1e-30))
+                        / jnp.log(1.0 - p_c)) + 1.0
+        geo = jnp.where(nv > 0, geo, jnp.float32(M))
+        found = (nv > 0) & (geo <= M)                                  # [C,1]
+        sampled = jnp.minimum(geo, jnp.float32(M))
+
+        # uniform violator when found; else a SOFT-hardest non-violating
+        # non-member (Gumbel-perturbed argmax). The reference's fallback is
+        # the hardest of its max_samples uniform draws (`_rankfm.pyx:259-268`)
+        # — a deterministic global argmax over-concentrates updates on the
+        # single boundary item and measurably hurts ranking quality.
+        key = jnp.where(
+            found,
+            jnp.where(viol, u01, -jnp.inf),
+            jnp.where(nonmem & ~viol,
+                      -pw - 0.5 * jnp.log(-jnp.log(u01)), -jnp.inf),
+        )
+        ratio = jnp.maximum(jnp.floor((num_items - 1) / sampled), 1.0)
+        mult = jnp.log(ratio) / log_I                                  # [C,1]
+
+    mx = jnp.max(key, axis=1, keepdims=True)                           # [C,1]
+    oh_j = ((key == mx) & (key > -jnp.inf)).astype(jnp.float32) * valid
     cnt_j = jnp.sum(oh_j, axis=1, keepdims=True)
-    oh_jn = oh_j / jnp.maximum(cnt_j, 1.0)                             # tie-split
+    oh_jb = (oh_j / jnp.maximum(cnt_j, 1.0)).astype(jnp.bfloat16)      # tie-split
     has_j = (cnt_j > 0).astype(jnp.float32)
-    pw_sel = jnp.sum(pw * oh_jn, axis=1, keepdims=True)                # [C,1]
 
-    # ---- multiplier, outer derivative, log-likelihood ----
-    ratio = jnp.maximum(jnp.floor((num_items - 1) / sampled), 1.0)
-    mult = jnp.log(ratio) / log_I
+    j_rows = jnp.dot(oh_jb, tw, preferred_element_type=jnp.float32)    # [C,128]
+    pw_sel = ut_ui - jnp.sum(u_rows * j_rows, axis=1, keepdims=True)   # [C,1]
+
+    # ---- outer derivative, log-likelihood (`_rankfm.pyx:269-276`) ----
     d = valid * has_j * sw * mult * jax.nn.sigmoid(-pw_sel)            # [C,1]
     ll_acc[0] += jnp.sum(valid * has_j * jax.nn.log_sigmoid(pw_sel))
 
     # ---- gradient rows + one-hot scatter-adds (MXU) ----
-    oh_jb = oh_jn.astype(jnp.bfloat16)
-    j_rows = jnp.dot(oh_jb, tab_i[:].astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)               # [C,128]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 1)
-    fmask = (lane < F).astype(jnp.float32)
-    g_u = (d * (i_rows - j_rows)) * fmask                              # [C,128]
-    g_ip = d * u_rows                                                  # [C,128]
+    g_u = d * (i_rows - j_rows)           # [C,128]; col F fixed below
+    g_ip = d * u_rows                     # [C,128]; col F = d = bias grad
 
     ones_c = jnp.ones((C, 1), jnp.bfloat16)
     count_u = jax.lax.dot_general(oh_u, ones_c, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # [U_pad,1]
-    count_i = jax.lax.dot_general(oh_i + oh_jb, ones_c, (((0,), (0,)), ((), ())),
+    count_i = jax.lax.dot_general(oh_i, ones_c, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # [I_pad,1]
+    count_j = jax.lax.dot_general(oh_jb, ones_c, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # [BLK,1]
 
-    lane_u = jax.lax.broadcasted_iota(jnp.int32, (U_pad, LANES), 1)
-    decay_u = jnp.where(lane_u < F, 1.0 - dreg * count_u, 1.0)         # keep col F = 1
     scat_u = jax.lax.dot_general(oh_u, g_u.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    tab_u[:] = tab_u[:] * decay_u + eta * scat_u
+    tab_u[:] = tab_u[:] * (1.0 - dreg * count_u) + eta * scat_u
+    tab_u[:, F:F + 1] = jnp.ones((U_pad, 1), jnp.float32)  # restore user col
 
     scat_i = jax.lax.dot_general(oh_i, g_ip.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+    tab_i[:] = tab_i[:] * (1.0 - dreg * count_i) + eta * scat_i
+
     scat_j = jax.lax.dot_general(oh_jb, (-g_ip).astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    tab_i[:] = tab_i[:] * (1.0 - dreg * count_i) + eta * (scat_i + scat_j)
+                                 preferred_element_type=jnp.float32)   # [BLK,128]
+    twf = tab_i[pl.ds(boff, BLK), :]
+    tab_i[pl.ds(boff, BLK), :] = (
+        twf * (1.0 - dreg * count_j) + eta * scat_j
+    )
 
     @pl.when(t == nT - 1)
     def _store():
@@ -231,30 +335,31 @@ def _kernel(u_ref, i_ref, swv_ref, mask_ref, vu_in, vi_in,
 @lru_cache(maxsize=16)
 def make_fused_batch_fn(num_users, num_items, factors, max_samples,
                         batch_size, chunk=128):
-    """Build ``fn(tab_u, tab_i, u, i, swv, mask_rows, seed, eta, dreg)
+    """Build ``fn(tab_u, tab_i, rec, mask_win, blk, seed, eta, dreg)
     -> (tab_u, tab_i, ll)`` running one minibatch fully fused.
 
-    ``u/i [B,1] int32``, ``swv [B,2] f32`` (sample_weight, valid),
-    ``mask_rows [B, I_pad/16] int32`` pre-gathered packed history rows.
+    ``rec [B,4] int32`` packed interaction records (see `make_records`),
+    ``mask_win [B, BLK/16] int32`` pre-gathered packed window words,
+    ``blk [1] int32`` the batch's window block id.
     """
     U_pad = _round_up(num_users, 8)
-    I_pad = _round_up(num_items, LANES)
-    W = I_pad // BITS_PER_LANE
+    BLK = block_size(num_items)
+    I_pad = item_pad(num_items)
+    LW = BLK // BITS_PER_LANE
     C = chunk
     assert batch_size % C == 0
     nT = batch_size // C
 
     kern = partial(_kernel, U_pad=U_pad, I_pad=I_pad, F=factors,
-                   M=max_samples, C=C, num_items=num_items)
+                   M=max_samples, C=C, BLK=BLK, num_items=num_items)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nT,),
         in_specs=[
-            pl.BlockSpec((C, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),   # u
-            pl.BlockSpec((C, 1), lambda t: (t, 0), memory_space=pltpu.VMEM),   # i
-            pl.BlockSpec((C, 2), lambda t: (t, 0), memory_space=pltpu.VMEM),   # swv
-            pl.BlockSpec((C, W), lambda t: (t, 0), memory_space=pltpu.VMEM),   # mask
+            pl.BlockSpec((C, 4), lambda t: (t, 0), memory_space=pltpu.VMEM),   # rec
+            pl.BlockSpec((C, LW), lambda t: (t, 0), memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vu_in
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vi_in
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # seed
@@ -282,58 +387,112 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
             jax.ShapeDtypeStruct((I_pad, LANES), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={3: 0, 4: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         ),
     )
 
-    def fn(tab_u, tab_i, u, i, swv, mask_rows, seed, eta, dreg):
-        tu, ti, ll = call(u, i, swv, mask_rows, tab_u, tab_i, seed, eta, dreg)
+    def fn(tab_u, tab_i, rec, mask_win, blk, seed, eta, dreg):
+        tu, ti, ll = call(rec, mask_win, blk, tab_u, tab_i, seed, eta, dreg)
         return tu, ti, ll[0, 0]
 
     return fn
+
+
+def _epoch_body(batch_fn, num_items, batch_size, chunk):
+    """Shared single-epoch logic: device shuffle + scan over minibatches."""
+    BLK = block_size(num_items)
+    I_pad = item_pad(num_items)
+    LW = BLK // BITS_PER_LANE
+    NBLK = I_pad // BLK
+
+    def one_epoch(tab_u, tab_i, packed_hist, rec, eta, alpha, key, epoch):
+        n_pad = rec.shape[0]
+        nb = n_pad // batch_size
+        key = jax.random.fold_in(key, epoch)
+        kperm, ksamp, kblk = jax.random.split(key, 3)
+        perm = jax.random.permutation(kperm, n_pad)
+        recp = jnp.take(rec, perm, axis=0).reshape(nb, batch_size, 4)
+        seeds = jax.random.randint(ksamp, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
+        blks = jax.random.randint(kblk, (nb,), 0, NBLK, dtype=jnp.int32)
+        eta_arr = jnp.reshape(jnp.asarray(eta, jnp.float32), (1,))
+        dreg_arr = eta_arr * (2.0 * jnp.asarray(alpha, jnp.float32))
+
+        def body(carry, xs):
+            tu, ti = carry
+            rec_, seed_, blk_ = xs
+            # ONE window block per batch: slice the window's packed columns
+            # first ([U, LW]) so the row gather moves B*LW words, not B*W
+            win_cols = jax.lax.dynamic_slice_in_dim(
+                packed_hist, blk_ * LW, LW, axis=1)              # [U, LW]
+            win = win_cols[rec_[:, 0]]                           # [B, LW]
+            tu, ti, ll = batch_fn(tu, ti, rec_, win,
+                                  jnp.reshape(blk_, (1,)),
+                                  jnp.reshape(seed_, (1,)),
+                                  eta_arr, dreg_arr)
+            return (tu, ti), ll
+
+        (tab_u, tab_i), lls = jax.lax.scan(
+            body, (tab_u, tab_i), (recp, seeds, blks))
+        return tab_u, tab_i, jnp.sum(lls)
+
+    return one_epoch
+
+
+@lru_cache(maxsize=16)
+def make_fused_epochs_fn(num_users, num_items, factors, max_samples,
+                         batch_size, chunk=128, donate=True):
+    """Multi-epoch driver: ONE device dispatch for a whole `fit_partial`.
+
+    Signature: ``fn(tab_u, tab_i, packed_hist, rec, etas, alpha, key) ->
+    (tab_u, tab_i, ll_per_epoch)`` where ``rec`` is the packed record array
+    (`make_records`), ``etas`` the per-epoch learning-rate vector
+    (`_rankfm.pyx:220-225` schedule, computed on host) and
+    ``ll_per_epoch [E]`` the per-epoch log-likelihoods.
+    """
+    batch_fn = make_fused_batch_fn(num_users, num_items, factors, max_samples,
+                                   batch_size, chunk)
+    one_epoch = _epoch_body(batch_fn, num_items, batch_size, chunk)
+
+    def epochs_fn(tab_u, tab_i, packed_hist, rec, etas, alpha, key):
+        E = etas.shape[0]
+        keys = jax.random.split(key, E)
+
+        def body(carry, xs):
+            tu, ti = carry
+            eta_e, key_e = xs
+            tu, ti, ll = one_epoch(tu, ti, packed_hist, rec, eta_e, alpha,
+                                   key_e, 0)
+            return (tu, ti), ll
+
+        (tab_u, tab_i), lls = jax.lax.scan(body, (tab_u, tab_i), (etas, keys))
+        return tab_u, tab_i, lls
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(epochs_fn, donate_argnums=donate_argnums)
 
 
 @lru_cache(maxsize=16)
 def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
                         chunk=128, donate=True):
     """Whole-epoch driver around the fused kernel: device shuffle, packed-mask
-    row gather per step (XLA), `lax.scan` over minibatches.
+    window gather per step (XLA), `lax.scan` over minibatches.
 
-    Signature: ``epoch_fn(tab_u, tab_i, packed_hist, u, i, sw, n_real, eta,
-    alpha, key) -> (tab_u, tab_i, ll)`` with u/i/sw padded 1-D columns.
+    Signature: ``epoch_fn(tab_u, tab_i, packed_hist, rec, eta, alpha, key,
+    epoch) -> (tab_u, tab_i, ll)`` with ``rec`` from `make_records`; the
+    per-epoch PRNG stream is ``fold_in(key, epoch)`` computed ON DEVICE so
+    the caller passes the same base key every epoch (no per-epoch host-side
+    PRNG dispatches).
     """
     batch_fn = make_fused_batch_fn(num_users, num_items, factors, max_samples,
                                    batch_size, chunk)
+    one_epoch = _epoch_body(batch_fn, num_items, batch_size, chunk)
 
-    def epoch_fn(tab_u, tab_i, packed_hist, u, i, sw, n_real, eta, alpha, key):
-        n_pad = u.shape[0]
-        nb = n_pad // batch_size
-        kperm, ksamp = jax.random.split(key)
-        perm = jax.random.permutation(kperm, n_pad)
-        valid = (perm < n_real).astype(jnp.float32)
-        ub = u[perm].reshape(nb, batch_size, 1)
-        ib = i[perm].reshape(nb, batch_size, 1)
-        swb = sw[perm].reshape(nb, batch_size, 1)
-        vb = valid.reshape(nb, batch_size, 1)
-        swv = jnp.concatenate([swb, vb], axis=-1)                # [nb,B,2]
-        seeds = jax.random.randint(ksamp, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
-        eta_arr = jnp.asarray([eta], jnp.float32)
-        dreg_arr = jnp.asarray([eta * 2.0 * alpha], jnp.float32)
-
-        def body(carry, xs):
-            tu, ti = carry
-            ub_, ib_, swv_, seed_ = xs
-            mask_rows = packed_hist[ub_[:, 0]]                   # [B, W] gather
-            tu, ti, ll = batch_fn(tu, ti, ub_, ib_, swv_, mask_rows,
-                                  jnp.asarray([seed_], jnp.int32)[0:1],
-                                  eta_arr, dreg_arr)
-            return (tu, ti), ll
-
-        (tab_u, tab_i), lls = jax.lax.scan(
-            body, (tab_u, tab_i), (ub, ib, swv, seeds))
-        return tab_u, tab_i, jnp.sum(lls)
+    def epoch_fn(tab_u, tab_i, packed_hist, rec, eta, alpha, key, epoch):
+        return one_epoch(tab_u, tab_i, packed_hist, rec,
+                         jnp.float32(eta), jnp.float32(alpha), key,
+                         jnp.int32(epoch))
 
     donate_argnums = (0, 1) if donate else ()
-    return jax.jit(epoch_fn, static_argnums=(6,), donate_argnums=donate_argnums)
+    return jax.jit(epoch_fn, donate_argnums=donate_argnums)

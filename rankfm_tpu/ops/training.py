@@ -224,18 +224,21 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
     ``np.random.shuffle`` + N sequential sample updates (`_rankfm.pyx:218-336`).
 
     The returned function signature is
-    ``epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta, key)
-      -> (w, log_likelihood)``
+    ``epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta, key,
+    epoch) -> (w, log_likelihood)``
     where ``u/i/sw`` are the *padded* interaction columns (pad rows carry
     ``sw = 0`` and index ``>= n_real``) and ``n_real`` is baked in statically.
+    The per-epoch PRNG stream is ``fold_in(key, epoch)`` computed on device so
+    callers pass the same base key every epoch.
     """
     step = make_train_step(num_items, max_samples, x_uf_any, x_if_any,
                            sample_rounds, sampler)
 
-    def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta, key):
+    def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta,
+                 key, epoch):
         n_pad = u.shape[0]
         nb = n_pad // batch_size
-        kperm, ksamp = jax.random.split(key)
+        kperm, ksamp = jax.random.split(jax.random.fold_in(key, epoch))
         perm = jax.random.permutation(kperm, n_pad)
         valid = perm < n_real
         ub = u[perm].reshape(nb, batch_size)

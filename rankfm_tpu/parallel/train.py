@@ -109,10 +109,11 @@ def _cached_sharded_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
 
     import jax.numpy as jnp
 
-    def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta, key):
+    def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta,
+                 key, epoch):
         n_pad = u.shape[0]
         nb = n_pad // batch_size
-        kperm, ksamp = jax.random.split(key)
+        kperm, ksamp = jax.random.split(jax.random.fold_in(key, epoch))
         perm = jax.random.permutation(kperm, n_pad)
         valid = perm < n_real
         ub = u[perm].reshape(nb, batch_size)
@@ -131,7 +132,7 @@ def _cached_sharded_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
         return w, jnp.sum(lls)
 
     in_shardings = (ws, fs["x_uf"], fs["x_if"], hist_sh,
-                    bs_sh, bs_sh, bs_sh, rep, rep, rep, rep)
+                    bs_sh, bs_sh, bs_sh, rep, rep, rep, rep, rep)
     return jax.jit(epoch_fn, static_argnums=(7,), donate_argnums=(0,),
                    in_shardings=in_shardings, out_shardings=(ws, rep))
 

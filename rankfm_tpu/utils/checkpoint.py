@@ -36,8 +36,13 @@ def save_model(model, path):
 
 
 def load_model(cls, path):
+    import os
+
     import pandas as pd
 
+    # np.savez appends ".npz" to extension-less paths; accept either spelling
+    if not os.path.exists(path) and os.path.exists(str(path) + ".npz"):
+        path = str(path) + ".npz"
     data = np.load(path, allow_pickle=True)
     hyper = json.loads(str(data["hyper_json"]))
     extras = {k: hyper.pop(k) for k in ("batch_size", "seed", "sample_rounds")}

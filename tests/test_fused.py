@@ -11,24 +11,54 @@ import jax.numpy as jnp
 from rankfm_tpu.ops import fused
 
 
-def test_pack_history_16_layout():
-    """column-major 16-bit pack: item i -> lane i % W, bit i // W"""
-    U, I_pad = 5, 64
-    W = I_pad // 16
-    rng = np.random.default_rng(0)
-    sets = [np.sort(rng.choice(I_pad, size=rng.integers(0, 20), replace=False))
-            for _ in range(U)]
-    offsets = np.zeros(U + 1, np.int32)
+def _csr_from_sets(sets):
+    offsets = np.zeros(len(sets) + 1, np.int32)
     offsets[1:] = np.cumsum([len(s) for s in sets])
     flat = (np.concatenate(sets).astype(np.int32) if offsets[-1]
             else np.zeros(0, np.int32))
-    packed = fused.pack_history_16(offsets, flat, U, I_pad)
-    assert packed.shape == (U, W)
+    return offsets, flat
+
+
+def _unpack(packed, num_items):
+    """inverse of the blocked 16-bit pack, for layout verification"""
+    blk = fused.block_size(num_items)
+    lw = blk // fused.BITS_PER_LANE
+    i_pad = fused.item_pad(num_items)
+    U = packed.shape[0]
+    out = np.zeros((U, i_pad), dtype=bool)
+    for i in range(i_pad):
+        b, j = divmod(i, blk)
+        lane, bit = b * lw + (j % lw), j // lw
+        out[:, i] = (packed[:, lane] >> bit) & 1
+    return out
+
+
+@pytest.mark.parametrize("num_items", [60, 128, 1000, 1024, 2500])
+def test_pack_history_blocked_layout(num_items):
+    U = 5
+    rng = np.random.default_rng(0)
+    sets = [np.sort(rng.choice(num_items, size=rng.integers(0, 30),
+                               replace=False)) for _ in range(U)]
+    offsets, flat = _csr_from_sets(sets)
+    packed = fused.pack_history(offsets, flat, U, num_items)
+    got = _unpack(packed, num_items)
     for u in range(U):
-        for i in range(I_pad):
-            bit = (packed[u, i % W] >> (i // W)) & 1
-            assert bool(bit) == (i in sets[u]), (u, i)
-    assert packed.max() < 2**16  # exact in f32 arithmetic
+        for i in range(num_items):
+            assert got[u, i] == (i in sets[u]), (u, i)
+        # pad items are marked as members (never sampled as negatives)
+        assert got[u, num_items:].all()
+    assert packed.max() < 2**16 or packed.min() < 0  # 16 bits per lane
+
+
+def test_pack_history_device_matches_host():
+    U, num_items = 7, 300
+    rng = np.random.default_rng(3)
+    sets = [np.sort(rng.choice(num_items, size=rng.integers(0, 40),
+                               replace=False)) for _ in range(U)]
+    offsets, flat = _csr_from_sets(sets)
+    host = fused.pack_history(offsets, flat, U, num_items)
+    dev = np.asarray(fused.pack_history_device(offsets, flat, U, num_items))
+    np.testing.assert_array_equal(host, dev)
 
 
 def test_extend_extract_roundtrip():
@@ -58,6 +88,14 @@ def test_fused_eligible():
     assert not fused.fused_eligible(10_000_000, 1_000_000, 64, False, False)
 
 
+def test_block_size_and_pad():
+    assert fused.block_size(60) == 128
+    assert fused.block_size(500) == 512
+    assert fused.block_size(3706) == 1024
+    assert fused.item_pad(3706) == 4096
+    assert fused.item_pad(128) == 128
+
+
 @pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
                     reason="Mosaic kernel needs TPU hardware")
 def test_fused_batch_trains():
@@ -68,7 +106,7 @@ def test_fused_batch_trains():
     counts = np.bincount(pairs[:, 0], minlength=U)
     offsets = np.zeros(U + 1, np.int32)
     offsets[1:] = np.cumsum(counts)
-    packed = jnp.asarray(fused.pack_history_16(offsets, pairs[:, 1], U, 128))
+    packed = jnp.asarray(fused.pack_history(offsets, pairs[:, 1], U, I))
     tu, ti = fused.extend_tables(
         jnp.zeros(I), jnp.asarray(rng.normal(0, 0.1, (U, F)).astype(np.float32)),
         jnp.asarray(rng.normal(0, 0.1, (I, F)).astype(np.float32)), 64, 128)
@@ -76,11 +114,11 @@ def test_fused_batch_trains():
     u = np.zeros(B, np.int32); i = np.zeros(B, np.int32); sw = np.zeros(B, np.float32)
     u[:n] = pairs[:, 0]; i[:n] = pairs[:, 1]; sw[:n] = 1.0
     epoch = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128, donate=False)
+    rec = jnp.asarray(fused.make_records(u, i, sw, n))
     lls = []
     for e in range(10):
-        tu, ti, ll = epoch(tu, ti, packed, jnp.asarray(u), jnp.asarray(i),
-                           jnp.asarray(sw), n, 0.1, 0.01,
-                           jax.random.PRNGKey(e))
+        tu, ti, ll = epoch(tu, ti, packed, rec, 0.1, 0.01,
+                           jax.random.PRNGKey(0), e)
         lls.append(float(ll))
     assert np.isfinite(lls).all()
     assert lls[-1] > lls[0]  # log-likelihood improves
