@@ -345,7 +345,7 @@ class RankFM:
             "v_uf": jnp.asarray(v_uf), "v_if": jnp.asarray(v_if),
         }
 
-    def _auto_batch_size(self, n):
+    def _auto_batch_size(self, n, fused=False):
         """Auto minibatch size.
 
         Synchronous batches lose the sequential SGD's self-stabilizing
@@ -355,9 +355,15 @@ class RankFM:
         Cap expected touches-per-item at ~4 / mean_sw^2 — empirically the
         stability boundary on small catalogs, while leaving large-catalog
         configs (e.g. ML-1M at B=8192) untouched.
+
+        The fused kernel's synchronous unit is its 512-row CHUNK, not the
+        batch, so there the batch is just scan granularity — bigger is
+        cheaper (fewer scan-step overheads) with no stability cost.
         """
         if self.batch_size is not None:
             return self.batch_size
+        if fused:
+            return min(32768, max(256, _next_pow2(max(n, 1))))
         num_items = max(len(self.item_idx), 1)
         mean_sw = float(np.mean(self.sample_weight)) if len(self.sample_weight) else 1.0
         stable_cap = max(256, _next_pow2(int(2 * num_items / max(mean_sw, 1.0) ** 2)))
@@ -430,11 +436,20 @@ class RankFM:
 
         n = len(self.interactions)
         num_items = len(self.item_idx)
-        bs = self._auto_batch_size(n)
-        n_pad = max(1, math.ceil(n / bs)) * bs
 
         x_uf_any = bool(self.x_uf.any())
         x_if_any = bool(self.x_if.any())
+
+        from rankfm_tpu.ops import fused as fused_mod
+        U, F = len(self.user_idx), self.factors
+        fused_possible = (
+            self.use_fused in (True, 'auto')
+            and self.mesh is None
+            and _on_tpu()
+            and fused_mod.fused_eligible(U, num_items, F, x_uf_any, x_if_any)
+        )
+        bs = self._auto_batch_size(n, fused=fused_possible)
+        n_pad = max(1, math.ceil(n / bs)) * bs
 
         # pad interaction columns to a whole number of batches
         u = np.zeros(n_pad, dtype=np.int32)
@@ -448,15 +463,7 @@ class RankFM:
 
         # dispatch: fused Pallas kernel (tables in VMEM, one-hot MXU
         # gather/scatter) when eligible, else the XLA step
-        from rankfm_tpu.ops import fused as fused_mod
-        U, F = len(self.user_idx), self.factors
-        fused_ok = (
-            self.use_fused in (True, 'auto')
-            and self.mesh is None
-            and _on_tpu()
-            and bs >= 128 and bs % 128 == 0
-            and fused_mod.fused_eligible(U, num_items, F, x_uf_any, x_if_any)
-        )
+        fused_ok = fused_possible and bs >= 128 and bs % 128 == 0
 
         import time as _time
 

@@ -346,6 +346,9 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     LW = BLK // BITS_PER_LANE
+    # the kernel extracts membership bits with `col >> log2(LW)` — a non-pow2
+    # LW would silently corrupt every membership test
+    assert LW >= 8 and (LW & (LW - 1)) == 0, LW
     C = chunk
     assert batch_size % C == 0
     nT = batch_size // C
