@@ -28,8 +28,10 @@ from rankfm_tpu.utils.data import (
     build_user_items_csr,
     csr_to_dict,
     get_data,
+    map_ids_float,
     map_interactions,
     merge_user_items_csr,
+    remap_indices,
     validate_features,
 )
 
@@ -547,18 +549,26 @@ class RankFM:
                     self._epoch_fn = make_epoch_fn(
                         num_items, max_samples, x_uf_any, x_if_any, bs,
                         sample_rounds=self.sample_rounds, sampler=self._sampler,
+                        pallas_scatter=_on_tpu(),
                     )
                 self._epoch_fn_key = fn_key
 
             w = self._weights
-            bitmap = self._ensure_bitmap()
+            if self.mesh is not None:
+                hist = {"offsets": self._offsets_dev,
+                        "flat": self._flat_items_dev,
+                        "bitmap": self._ensure_bitmap()}
+            else:
+                # the window-WARP step reads the blocked history pack
+                if self._packed_hist is None:
+                    self._packed_hist = fused_mod.pack_history_device(
+                        self._ui_offsets, self._ui_items, U, num_items)
+                hist = self._packed_hist
             u_dev, i_dev, sw_dev = jnp.asarray(u), jnp.asarray(i), jnp.asarray(sw)
             for epoch in range(epochs):
                 t0 = _time.time()
                 w, ll = self._epoch_fn(
-                    w, self._x_uf_dev, self._x_if_dev,
-                    {"offsets": self._offsets_dev, "flat": self._flat_items_dev,
-                     "bitmap": bitmap},
+                    w, self._x_uf_dev, self._x_if_dev, hist,
                     u_dev, i_dev, sw_dev, n,
                     float(_eta(epoch)), float(self.alpha), float(self.beta),
                     base_key, epoch,
@@ -582,12 +592,12 @@ class RankFM:
         assert self.is_fit, "you must fit the model prior to generating predictions"
 
         arr = get_data(pairs)
-        u = pd.Series(arr[:, 0]).map(self.user_to_index).values.astype(np.float64)
-        i = pd.Series(arr[:, 1]).map(self.item_to_index).values.astype(np.float64)
+        u = map_ids_float(arr[:, 0], self.user_to_index)
+        i = map_ids_float(arr[:, 1], self.item_to_index)
         known = ~(np.isnan(u) | np.isnan(i))
 
         n = len(arr)
-        n_pad = _next_pow2(max(n, 1))
+        n_pad = min(_next_pow2(max(n, 1)), (n + 8191) // 8192 * 8192)
         u_idx = np.zeros(n_pad, dtype=np.int32)
         i_idx = np.zeros(n_pad, dtype=np.int32)
         u_idx[:n] = np.where(known, u, 0).astype(np.int32)
@@ -632,46 +642,64 @@ class RankFM:
         assert getattr(users, '__iter__', False), "[users] must be an iterable (e.g. list, array, series)"
         assert self.is_fit, "you must fit the model prior to generating recommendations"
 
-        user_idx = pd.Series(users).map(self.user_to_index).values.astype(np.float64)
+        users_arr = pd.Series(users).values
+        user_idx = map_ids_float(users_arr, self.user_to_index)
         known = ~np.isnan(user_idx)
         known_idx = user_idx[known].astype(np.int32)
 
-        if n_items not in self._topk_fns:
+        use_bitmap_filter = (
+            filter_previous and self.mesh is None and self._sampler == 'bitmap'
+        )
+        fn_key = (n_items, 'bitmap' if use_bitmap_filter else 'scatter')
+        if fn_key not in self._topk_fns:
             if self.mesh is not None:
                 from rankfm_tpu.parallel.retrieval import make_sharded_recommend
-                self._topk_fns[n_items] = make_sharded_recommend(
+                self._topk_fns[fn_key] = make_sharded_recommend(
                     self.mesh, n_items, len(self.item_idx))
+            elif use_bitmap_filter:
+                from rankfm_tpu.ops.topk import topk_bitmap_fn
+                self._topk_fns[fn_key] = topk_bitmap_fn(
+                    n_items, len(self.item_idx))
             else:
-                self._topk_fns[n_items] = topk_fn(n_items)
-        fn = self._topk_fns[n_items]
+                self._topk_fns[fn_key] = topk_fn(n_items)
+        fn = self._topk_fns[fn_key]
 
         out = np.full((len(user_idx), n_items), np.nan, dtype=np.float64)
         if len(known_idx):
+            bitmap = self._ensure_bitmap() if use_bitmap_filter else None
             chunks = []
             for s in range(0, len(known_idx), _RECOMMEND_CHUNK):
                 batch = known_idx[s:s + _RECOMMEND_CHUNK]
                 bsz = len(batch)
                 pad = np.zeros(_RECOMMEND_CHUNK, dtype=np.int32)
                 pad[:bsz] = batch
-                if filter_previous:
-                    rows, cols = self._seen_pairs_for(batch)
-                    cap = _next_pow2(max(len(rows), 1))
-                    rows_p = np.full(cap, -1, dtype=np.int32)
-                    cols_p = np.zeros(cap, dtype=np.int32)
-                    rows_p[:len(rows)] = rows
-                    cols_p[:len(cols)] = cols
+                if use_bitmap_filter:
+                    top_items, _ = fn(
+                        self._weights, self._x_uf_dev, self._x_if_dev,
+                        jnp.asarray(pad), bitmap,
+                    )
                 else:
-                    rows_p = np.zeros(0, dtype=np.int32)
-                    cols_p = np.zeros(0, dtype=np.int32)
-                top_items, _ = fn(
-                    self._weights, self._x_uf_dev, self._x_if_dev,
-                    jnp.asarray(pad), jnp.asarray(rows_p), jnp.asarray(cols_p),
-                )
+                    if filter_previous:
+                        rows, cols = self._seen_pairs_for(batch)
+                        cap = _next_pow2(max(len(rows), 1))
+                        rows_p = np.full(cap, -1, dtype=np.int32)
+                        cols_p = np.zeros(cap, dtype=np.int32)
+                        rows_p[:len(rows)] = rows
+                        cols_p[:len(cols)] = cols
+                    else:
+                        rows_p = np.zeros(0, dtype=np.int32)
+                        cols_p = np.zeros(0, dtype=np.int32)
+                    top_items, _ = fn(
+                        self._weights, self._x_uf_dev, self._x_if_dev,
+                        jnp.asarray(pad), jnp.asarray(rows_p), jnp.asarray(cols_p),
+                    )
                 chunks.append(np.asarray(top_items)[:bsz])
             out[known] = np.concatenate(chunks, axis=0)
 
-        rec_items = pd.DataFrame(out, index=pd.Index(np.asarray(users)))
-        rec_items = rec_items.apply(lambda c: c.map(self.index_to_item))
+        rec_items = pd.DataFrame(
+            remap_indices(self.index_to_item.values, out),
+            index=pd.Index(users_arr),
+        )
 
         if cold_start == 'nan':
             return rec_items

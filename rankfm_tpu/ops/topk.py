@@ -43,3 +43,21 @@ def topk_fn(n_items):
             w, x_uf, x_if, u_idx, n_items, seen_rows, seen_cols
         )
     )
+
+
+def topk_bitmap_fn(n_items, num_items):
+    """Top-N with previously-seen filtering driven by the packed membership
+    bitmap: one row gather + an in-register bit expansion instead of a
+    (TPU-serialized) scatter of -inf into the score matrix."""
+
+    def fn(w, x_uf, x_if, u_idx, bitmap_words):
+        scores = scoring.score_all_items(w, x_uf, x_if, u_idx)      # [B, I]
+        rows = bitmap_words[u_idx]                                  # [B, W32]
+        rep = jnp.repeat(rows, 32, axis=1)[:, :num_items]           # [B, I]
+        col = jax.lax.broadcasted_iota(jnp.uint32, rep.shape, 1)
+        seen = (rep >> (col & jnp.uint32(31))) & jnp.uint32(1)
+        scores = jnp.where(seen.astype(bool), NEG_INF, scores)
+        top_scores, top_items = jax.lax.top_k(scores, n_items)
+        return top_items.astype(jnp.int32), top_scores
+
+    return jax.jit(fn)

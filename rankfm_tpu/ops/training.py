@@ -71,7 +71,7 @@ def _decay_apply(wt, grad, counts, eta, reg):
 
 
 def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
-                    sampler="bsearch"):
+                    sampler="bsearch", pallas_scatter=False):
     """Build the jittable single-batch training step.
 
     Static configuration: catalog size, WARP width, whether user/item features
@@ -102,10 +102,7 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
                 rounds=sample_rounds,
             )  # [B, M]
 
-        # ---- gather user-side rows; score ALL items with ONE MXU matmul ----
-        # (avoids every [B, M, F] 3-D gather: trailing dims < 128 lanes force
-        # expensive relayouts on TPU; a [B,2F]x[2F,I] matmul + in-row
-        # take_along_axis is both faster and feature-exact)
+        # ---- gather user-side rows; score positives + candidates ----
         v_u_b = w["v_u"][u]                                   # [B, F]
         x_uf_b = x_uf[u]                                      # [B, P]
         user_rep_b = v_u_b + jnp.dot(x_uf_b, w["v_uf"], preferred_element_type=jnp.float32)
@@ -114,16 +111,32 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         item_bias = w["w_i"] + jnp.dot(x_if, w["w_if"], preferred_element_type=jnp.float32)
         u_mat = jnp.concatenate([user_rep_b, v_u_b], axis=-1)            # [B, 2F]
         i_mat = jnp.concatenate([w["v_i"], item_rep - w["v_i"]], axis=-1)  # [I, 2F]
-        # bf16 MXU passes for the big matmul (f32 accumulate); SGD is robust
+        # bf16 MXU passes for the matmuls (f32 accumulate); SGD is robust
         # to bf16-grade scoring noise and the MXU runs 4x faster
-        scores_all = (
-            jnp.dot(u_mat.astype(jnp.bfloat16), i_mat.T.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-            + item_bias[None, :]
-        )                                                     # [B, I]
-
-        ut_ui = jnp.take_along_axis(scores_all, i[:, None], axis=1)[:, 0]  # [B]
-        ut_uj = jnp.take_along_axis(scores_all, cands, axis=1)            # [B, M]
+        if B * num_items <= 2**28:
+            # small catalog: ONE [B,2F]x[2F,I] matmul scores everything;
+            # in-row take_along_axis beats [B,M,F] 3-D gathers here
+            scores_all = (
+                jnp.dot(u_mat.astype(jnp.bfloat16), i_mat.T.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+                + item_bias[None, :]
+            )                                                 # [B, I]
+            ut_ui = jnp.take_along_axis(scores_all, i[:, None], axis=1)[:, 0]
+            ut_uj = jnp.take_along_axis(scores_all, cands, axis=1)        # [B, M]
+        else:
+            # large catalog: a [B, I] score matrix costs GBs of HBM traffic
+            # per elementwise pass — gather only the M candidate rows
+            u_b16 = u_mat.astype(jnp.bfloat16)
+            cand_rows = i_mat[cands.reshape(-1)].reshape(B, M, -1)        # [B,M,2F]
+            ut_uj = (
+                jnp.einsum("bf,bmf->bm", u_b16, cand_rows.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+                + item_bias[cands]
+            )
+            pos_rows = i_mat[i]                                           # [B, 2F]
+            ut_ui = (
+                jnp.sum(u_mat * pos_rows, axis=-1) + item_bias[i]
+            )
 
         # ---- WARP selection: first margin violator, else hardest negative ----
         pairwise = ut_ui[:, None] - ut_uj                     # [B, M]
@@ -158,18 +171,6 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
 
         # ---- accumulate gradients (scatter-add over the batch) ----
         d_col = d[:, None]
-        g_w_i = (
-            jnp.zeros_like(w["w_i"]).at[i].add(d).at[j].add(-d)
-        )
-        g_v_i = (
-            jnp.zeros_like(w["v_i"])
-            .at[i].add(d_col * user_rep_b)
-            .at[j].add(-d_col * user_rep_b)
-        )
-        # d_v_u = (v_i[i] - v_i[j]) + v_ifᵀ(x_if[i] - x_if[j])  (`_rankfm.pyx:292,305`)
-        g_v_u = jnp.zeros_like(w["v_u"]).at[u].add(
-            d_col * ((v_i_pos - v_i_j) + (feat_rep_pos - feat_rep_j))
-        )
         g_w_if = jnp.einsum("b,bq->q", d, x_if_pos - x_if_j, preferred_element_type=jnp.float32)
         g_v_uf = jnp.einsum(
             "b,bp,bf->pf", d, x_uf_b, v_i_pos - v_i_j, preferred_element_type=jnp.float32
@@ -178,9 +179,6 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
             "b,bq,bf->qf", d, x_if_pos - x_if_j, v_u_b, preferred_element_type=jnp.float32
         )
 
-        # ---- per-row touch counts for the decay ----
-        k_i = jnp.zeros_like(w["w_i"]).at[i].add(row_ok).at[j].add(row_ok)
-        k_u = jnp.zeros(w["v_u"].shape[0], dtype=jnp.float32).at[u].add(row_ok)
         n_ok = jnp.sum(row_ok)
         if x_if_any:
             k_w_if = jnp.broadcast_to(n_ok, w["w_if"].shape)
@@ -201,10 +199,230 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         else:
             k_v_uf = jnp.zeros(w["v_uf"].shape[0], dtype=jnp.float32)
 
+        # ---- apply the sparse (scattered) table updates ----
+        g_u_rows = d_col * ((v_i_pos - v_i_j) + (feat_rep_pos - feat_rep_j))
+        # d_v_u = (v_i[i] - v_i[j]) + v_ifᵀ(x_if[i] - x_if[j])  (`_rankfm.pyx:292,305`)
+        if pallas_scatter:
+            # tiled one-hot MXU scatter (XLA's TPU scatter is ~serial)
+            from rankfm_tpu.ops.scatter import apply_table_update
+
+            okb = row_ok > 0
+            c_a = jnp.maximum(1.0 - eta * 2.0 * alpha, 1e-8)
+            idx_i2 = jnp.concatenate([jnp.where(okb, i, -1),
+                                      jnp.where(okb, j, -1)])
+            gi = d_col * user_rep_b
+            ones = row_ok[:, None]
+            upd_i2 = jnp.concatenate([
+                jnp.concatenate([gi, d_col, ones], axis=1),
+                jnp.concatenate([-gi, -d_col, ones], axis=1),
+            ], axis=0)
+            v_i_new, w_i_new = apply_table_update(
+                w["v_i"], w["w_i"], idx_i2, upd_i2, eta, c_a)
+            idx_u = jnp.where(okb, u, -1)
+            upd_u = jnp.concatenate(
+                [g_u_rows, jnp.zeros_like(d_col), ones], axis=1)
+            v_u_new, _ = apply_table_update(
+                w["v_u"], jnp.zeros(w["v_u"].shape[0], jnp.float32),
+                idx_u, upd_u, eta, c_a)
+        else:
+            g_w_i = jnp.zeros_like(w["w_i"]).at[i].add(d).at[j].add(-d)
+            g_v_i = (
+                jnp.zeros_like(w["v_i"])
+                .at[i].add(d_col * user_rep_b)
+                .at[j].add(-d_col * user_rep_b)
+            )
+            g_v_u = jnp.zeros_like(w["v_u"]).at[u].add(g_u_rows)
+            k_i = jnp.zeros_like(w["w_i"]).at[i].add(row_ok).at[j].add(row_ok)
+            k_u = jnp.zeros(w["v_u"].shape[0], dtype=jnp.float32).at[u].add(row_ok)
+            w_i_new = _decay_apply(w["w_i"], g_w_i, k_i, eta, alpha)
+            v_i_new = _decay_apply(w["v_i"], g_v_i, k_i, eta, alpha)
+            v_u_new = _decay_apply(w["v_u"], g_v_u, k_u, eta, alpha)
+
         new_w = {
-            "w_i": _decay_apply(w["w_i"], g_w_i, k_i, eta, alpha),
-            "v_i": _decay_apply(w["v_i"], g_v_i, k_i, eta, alpha),
-            "v_u": _decay_apply(w["v_u"], g_v_u, k_u, eta, alpha),
+            "w_i": w_i_new,
+            "v_i": v_i_new,
+            "v_u": v_u_new,
+            "w_if": _decay_apply(w["w_if"], g_w_if, k_w_if, eta, beta),
+            "v_uf": _decay_apply(w["v_uf"], g_v_uf, k_v_uf, eta, beta),
+            "v_if": _decay_apply(w["v_if"], g_v_if, k_v_if, eta, beta),
+        }
+        return new_w, ll
+
+    return step
+
+
+def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
+                           pallas_scatter=False):
+    """Window-WARP training step — the XLA twin of the fused Pallas kernel.
+
+    Negatives for a batch come from ONE random contiguous block of ``BLK``
+    items (same `pack_history` bit-pack and same geometric-draw-count /
+    uniform-violator / soft-hardest-fallback semantics as
+    `rankfm_tpu.ops.fused`). Scoring the window is a single MXU matmul and
+    every selection pass is O(B * BLK) elementwise — no per-candidate
+    row gathers, no rejection-sampling gathers (both of which lower to
+    millisecond-class gathers on TPU at Instacart scale).
+
+    Signature: ``step(w, x_uf, x_if, packed_hist, u, i, sw, valid, eta,
+    alpha, beta, key) -> (w, ll)``.
+    """
+    from rankfm_tpu.ops.fused import (
+        BITS_PER_LANE, block_size, item_pad)
+
+    M = max_samples
+    log_I = math.log(num_items) if num_items > 1 else 1.0
+    BLK = block_size(num_items)
+    I_pad = item_pad(num_items)
+    LW = BLK // BITS_PER_LANE
+    NBLK = I_pad // BLK
+    lg_lw = LW.bit_length() - 1
+
+    def step(w, x_uf, x_if, packed_hist, u, i, sw, valid, eta, alpha, beta, key):
+        B = u.shape[0]
+        kblk, kcand, kgeo = jax.random.split(key, 3)
+        blk = jax.random.randint(kblk, (), 0, NBLK)
+
+        # ---- window membership bits (blocked 16-bit pack, tile layout) ----
+        win_cols = jax.lax.dynamic_slice_in_dim(
+            packed_hist, blk * LW, LW, axis=1)                # [U, LW]
+        rows = win_cols[u]                                    # [B, LW]
+        col = jnp.arange(BLK, dtype=jnp.int32)[None, :]
+        bits = jnp.tile(rows, (1, BITS_PER_LANE))             # [B, BLK]
+        nonmem = ((bits >> (col >> lg_lw)) & 1) == 0          # pad items = member
+
+        # ---- score the window with one MXU matmul ----
+        v_u_b = w["v_u"][u]                                   # [B, F]
+        x_uf_b = x_uf[u]                                      # [B, P]
+        user_rep_b = v_u_b + jnp.dot(x_uf_b, w["v_uf"], preferred_element_type=jnp.float32)
+        item_rep = w["v_i"] + jnp.dot(x_if, w["v_if"], preferred_element_type=jnp.float32)
+        item_bias = w["w_i"] + jnp.dot(x_if, w["w_if"], preferred_element_type=jnp.float32)
+        u_mat = jnp.concatenate([user_rep_b, v_u_b], axis=-1)             # [B, 2F]
+        i_mat = jnp.concatenate([w["v_i"], item_rep - w["v_i"]], axis=-1)  # [I, 2F]
+        i_pad_mat = jnp.pad(i_mat, ((0, I_pad - i_mat.shape[0]), (0, 0)))
+        bias_pad = jnp.pad(item_bias, (0, I_pad - item_bias.shape[0]))
+        i_win = jax.lax.dynamic_slice_in_dim(i_pad_mat, blk * BLK, BLK, axis=0)
+        b_win = jax.lax.dynamic_slice_in_dim(bias_pad, blk * BLK, BLK, axis=0)
+        scores_win = (
+            jnp.dot(u_mat.astype(jnp.bfloat16), i_win.T.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+            + b_win[None, :]
+        )                                                     # [B, BLK]
+        v_i_pos = w["v_i"][i]                                 # [B, F]
+        x_if_pos = x_if[i]                                    # [B, Q]
+        feat_rep_pos = jnp.dot(x_if_pos, w["v_if"], preferred_element_type=jnp.float32)
+        i_rows = jnp.concatenate(
+            [v_i_pos, feat_rep_pos], axis=-1)                 # i_mat rows of i
+        ut_ui = jnp.sum(u_mat * i_rows, axis=-1) + item_bias[i]
+        pw = ut_ui[:, None] - scores_win                      # [B, BLK]
+
+        # ---- WARP selection (fused-kernel semantics, `ops/fused.py`) ----
+        u01 = jax.random.uniform(kcand, (B, BLK), minval=1e-7, maxval=1.0)
+        if M == 1:
+            key_m = jnp.where(nonmem, u01, -jnp.inf)
+            sampled = jnp.ones((B,), jnp.int32)
+        else:
+            viol = (pw < MARGIN) & nonmem
+            nv = jnp.sum(viol.astype(jnp.float32), axis=1)
+            n_nonmem = jnp.sum(nonmem.astype(jnp.float32), axis=1)
+            r1 = jax.random.uniform(kgeo, (B,), minval=1e-7, maxval=1.0)
+            p_c = jnp.clip(nv / jnp.maximum(n_nonmem, 1.0), 1e-9, 1.0 - 1e-7)
+            geo = jnp.floor(jnp.log(r1) / jnp.log(1.0 - p_c)) + 1.0
+            geo = jnp.where(nv > 0, geo, jnp.float32(M))
+            found = (nv > 0) & (geo <= M)
+            sampled = jnp.minimum(geo, jnp.float32(M)).astype(jnp.int32)
+            key_m = jnp.where(
+                found[:, None],
+                jnp.where(viol, u01, -jnp.inf),
+                jnp.where(nonmem & ~viol,
+                          -pw - 0.5 * jnp.log(-jnp.log(u01)), -jnp.inf),
+            )
+        jloc = jnp.argmax(key_m, axis=1)
+        has_j = jnp.max(key_m, axis=1) > -jnp.inf
+        j = (blk * BLK + jloc).astype(jnp.int32)
+        j = jnp.minimum(j, num_items - 1)  # only reachable when has_j=False
+        row_ok = (valid & has_j).astype(jnp.float32)
+
+        # exact pointwise recompute at the selected j (f32)
+        v_i_j = w["v_i"][j]                                   # [B, F]
+        x_if_j = x_if[j]                                      # [B, Q]
+        feat_rep_j = jnp.dot(x_if_j, w["v_if"], preferred_element_type=jnp.float32)
+        j_rows = jnp.concatenate([v_i_j, feat_rep_j], axis=-1)
+        ut_uj = jnp.sum(u_mat * j_rows, axis=-1) + item_bias[j]
+        pw_sel = ut_ui - ut_uj
+
+        # multiplier = log((I-1) // sampled) / log(I)   (C int division)
+        ratio = jnp.maximum((num_items - 1) // sampled, 1).astype(jnp.float32)
+        multiplier = jnp.log(ratio) / log_I
+        d = row_ok * sw * multiplier * jax.nn.sigmoid(-pw_sel)
+        ll = jnp.sum(row_ok * jax.nn.log_sigmoid(pw_sel))
+
+        # ---- gradients: identical update expressions to make_train_step ----
+        d_col = d[:, None]
+        g_w_if = jnp.einsum("b,bq->q", d, x_if_pos - x_if_j, preferred_element_type=jnp.float32)
+        g_v_uf = jnp.einsum(
+            "b,bp,bf->pf", d, x_uf_b, v_i_pos - v_i_j, preferred_element_type=jnp.float32
+        )
+        g_v_if = jnp.einsum(
+            "b,bq,bf->qf", d, x_if_pos - x_if_j, v_u_b, preferred_element_type=jnp.float32
+        )
+        n_ok = jnp.sum(row_ok)
+        if x_if_any:
+            k_w_if = jnp.broadcast_to(n_ok, w["w_if"].shape)
+            k_v_if = jnp.einsum(
+                "b,bq->q", row_ok, (x_if_pos != x_if_j).astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            k_w_if = jnp.zeros_like(w["w_if"])
+            k_v_if = jnp.zeros(w["v_if"].shape[0], dtype=jnp.float32)
+        if x_uf_any:
+            k_v_uf = jnp.einsum(
+                "b,bp->p", row_ok, (x_uf_b != 0).astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            k_v_uf = jnp.zeros(w["v_uf"].shape[0], dtype=jnp.float32)
+
+        g_u_rows = d_col * ((v_i_pos - v_i_j) + (feat_rep_pos - feat_rep_j))
+        if pallas_scatter:
+            from rankfm_tpu.ops.scatter import apply_table_update
+
+            okb = row_ok > 0
+            c_a = jnp.maximum(1.0 - eta * 2.0 * alpha, 1e-8)
+            idx_i2 = jnp.concatenate([jnp.where(okb, i, -1),
+                                      jnp.where(okb, j, -1)])
+            gi = d_col * user_rep_b
+            ones = row_ok[:, None]
+            upd_i2 = jnp.concatenate([
+                jnp.concatenate([gi, d_col, ones], axis=1),
+                jnp.concatenate([-gi, -d_col, ones], axis=1),
+            ], axis=0)
+            v_i_new, w_i_new = apply_table_update(
+                w["v_i"], w["w_i"], idx_i2, upd_i2, eta, c_a)
+            idx_u = jnp.where(okb, u, -1)
+            upd_u = jnp.concatenate(
+                [g_u_rows, jnp.zeros_like(d_col), ones], axis=1)
+            v_u_new, _ = apply_table_update(
+                w["v_u"], jnp.zeros(w["v_u"].shape[0], jnp.float32),
+                idx_u, upd_u, eta, c_a)
+        else:
+            g_w_i = jnp.zeros_like(w["w_i"]).at[i].add(d).at[j].add(-d)
+            g_v_i = (
+                jnp.zeros_like(w["v_i"])
+                .at[i].add(d_col * user_rep_b)
+                .at[j].add(-d_col * user_rep_b)
+            )
+            g_v_u = jnp.zeros_like(w["v_u"]).at[u].add(g_u_rows)
+            k_i = jnp.zeros_like(w["w_i"]).at[i].add(row_ok).at[j].add(row_ok)
+            k_u = jnp.zeros(w["v_u"].shape[0], dtype=jnp.float32).at[u].add(row_ok)
+            w_i_new = _decay_apply(w["w_i"], g_w_i, k_i, eta, alpha)
+            v_i_new = _decay_apply(w["v_i"], g_v_i, k_i, eta, alpha)
+            v_u_new = _decay_apply(w["v_u"], g_v_u, k_u, eta, alpha)
+
+        new_w = {
+            "w_i": w_i_new,
+            "v_i": v_i_new,
+            "v_u": v_u_new,
             "w_if": _decay_apply(w["w_if"], g_w_if, k_w_if, eta, beta),
             "v_uf": _decay_apply(w["v_uf"], g_v_uf, k_v_uf, eta, beta),
             "v_if": _decay_apply(w["v_if"], g_v_if, k_v_if, eta, beta),
@@ -216,12 +434,17 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
 
 @lru_cache(maxsize=32)
 def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
-                  sample_rounds=8, donate=True, sampler="bsearch"):
+                  sample_rounds=8, donate=True, sampler="bsearch",
+                  pallas_scatter=False):
     """Build the jitted whole-epoch function.
 
     One epoch = device-side shuffle + `lax.scan` over minibatches of the
     padded interaction arrays. Replaces the reference's per-epoch
     ``np.random.shuffle`` + N sequential sample updates (`_rankfm.pyx:218-336`).
+
+    The step is the window-WARP formulation (`make_window_train_step`);
+    ``hist`` is the blocked 16-bit history pack from
+    `rankfm_tpu.ops.fused.pack_history_device`.
 
     The returned function signature is
     ``epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta, key,
@@ -231,8 +454,8 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
     The per-epoch PRNG stream is ``fold_in(key, epoch)`` computed on device so
     callers pass the same base key every epoch.
     """
-    step = make_train_step(num_items, max_samples, x_uf_any, x_if_any,
-                           sample_rounds, sampler)
+    step = make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
+                                  pallas_scatter)
 
     def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta,
                  key, epoch):

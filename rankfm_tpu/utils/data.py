@@ -88,6 +88,39 @@ def map_interactions(interactions, user_to_index, item_to_index):
     return np.ascontiguousarray(pairs), keep
 
 
+def map_ids_float(values, to_index):
+    """Map raw ids to float64 internal indices with NaN for unknowns —
+    the reference's ``Series.map`` convention (`rankfm.py:342-345, 380`),
+    routed through the native hash map for integer id columns."""
+    iv = _int64_view(values)
+    ti = _int64_view(to_index.index.values)
+    if iv is not None and ti is not None:
+        from rankfm_tpu import native
+        idx = native.map_ids(iv, ti)
+        if idx is not None:
+            out = idx.astype(np.float64)
+            out[idx < 0] = np.nan
+            return out
+    return pd.Series(np.asarray(values)).map(to_index).values.astype(np.float64)
+
+
+def remap_indices(index_values, idx_float):
+    """Vectorized inverse mapping: float indices (NaN = unknown) -> original
+    ids. Int/float id vocabularies come back float64 with NaN (what pandas
+    ``.map`` produces when NaN is present); anything else comes back object."""
+    flat = np.asarray(idx_float, dtype=np.float64)
+    known = ~np.isnan(flat)
+    safe = np.where(known, flat, 0.0).astype(np.int64)
+    vals = np.asarray(index_values)
+    if vals.dtype.kind in "iuf":
+        out = vals.astype(np.float64)[safe]
+        out[~known] = np.nan
+    else:
+        out = vals[safe].astype(object)
+        out[~known] = np.nan
+    return out.reshape(np.shape(idx_float))
+
+
 def build_user_items_csr(pairs, num_users):
     """Build a CSR view of the distinct, sorted item history of every user.
 

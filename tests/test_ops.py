@@ -235,3 +235,45 @@ def test_train_step_moves_pair_apart():
                      jnp.float32(0.1), jax.random.PRNGKey(t))
     after = mean_margin(w)
     assert after > before + 0.1
+
+
+def test_window_train_step_moves_pair_apart():
+    """the window-WARP step (XLA twin of the fused kernel) must learn too"""
+    from rankfm_tpu.ops.training import make_window_train_step
+    from rankfm_tpu.ops.fused import pack_history
+
+    rng = np.random.default_rng(6)
+    U, I, F = 4, 8, 4
+    w = {
+        "w_i": jnp.zeros(I), "w_if": jnp.zeros(1),
+        "v_u": jnp.asarray(rng.normal(0, 0.1, (U, F)).astype(np.float32)),
+        "v_i": jnp.asarray(rng.normal(0, 0.1, (I, F)).astype(np.float32)),
+        "v_uf": jnp.zeros((1, F)), "v_if": jnp.zeros((1, F)),
+    }
+    x_uf = jnp.zeros((U, 1))
+    x_if = jnp.zeros((I, 1))
+    pairs = np.stack([np.arange(U), np.arange(U)], 1).astype(np.int32)
+    offsets = np.arange(U + 1, dtype=np.int32)
+    flat = np.arange(U, dtype=np.int32)
+    packed = jnp.asarray(pack_history(offsets, flat, U, I))
+
+    for M in (1, 5):
+        wt = dict(w)
+        step = make_window_train_step(I, M, False, False)
+        u, i = jnp.asarray(pairs[:, 0]), jnp.asarray(pairs[:, 1])
+        sw = jnp.ones(U)
+        valid = jnp.ones(U, bool)
+
+        def mean_margin(wx):
+            pos = scoring.score_pairs(wx, x_uf, x_if, u, i)
+            all_s = scoring.score_all_items(wx, x_uf, x_if, u)
+            return float(jnp.mean(pos[:, None] - all_s))
+
+        before = mean_margin(wt)
+        for t in range(50):
+            wt, ll = step(wt, x_uf, x_if, packed,
+                          u, i, sw, valid, jnp.float32(0.1), jnp.float32(0.01),
+                          jnp.float32(0.1), jax.random.PRNGKey(t))
+        after = mean_margin(wt)
+        assert after > before + 0.1, (M, before, after)
+        assert np.isfinite(float(ll))
