@@ -532,8 +532,13 @@ class RankFM:
                                  w_i=w_i_new, v_u=v_u_new, v_i=v_i_new)
             _finish_epochs()
         else:
+            # windowed negatives are at metric parity with reference-style
+            # candidate draws up to ~8 window blocks; beyond that the
+            # candidate step's catalog-wide sampling measurably wins
+            nblk = fused_mod.item_pad(num_items) // fused_mod.block_size(num_items)
+            step_kind = 'window' if nblk <= 8 else 'candidate'
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs, n_pad,
-                      self._sampler, self.mesh is not None,
+                      self._sampler, self.mesh is not None, step_kind,
                       tuple(v.shape for v in self._weights.values()))
             if self._epoch_fn is None or self._epoch_fn_key != fn_key:
                 if self.mesh is not None:
@@ -549,12 +554,12 @@ class RankFM:
                     self._epoch_fn = make_epoch_fn(
                         num_items, max_samples, x_uf_any, x_if_any, bs,
                         sample_rounds=self.sample_rounds, sampler=self._sampler,
-                        pallas_scatter=_on_tpu(),
+                        pallas_scatter=_on_tpu(), step_kind=step_kind,
                     )
                 self._epoch_fn_key = fn_key
 
             w = self._weights
-            if self.mesh is not None:
+            if self.mesh is not None or step_kind == 'candidate':
                 hist = {"offsets": self._offsets_dev,
                         "flat": self._flat_items_dev,
                         "bitmap": self._ensure_bitmap()}

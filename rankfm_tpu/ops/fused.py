@@ -263,16 +263,20 @@ def _kernel(rec_ref, mask_ref, blk_ref, vu_in, vi_in,
         found = (nv > 0) & (geo <= M)                                  # [C,1]
         sampled = jnp.minimum(geo, jnp.float32(M))
 
-        # uniform violator when found; else a SOFT-hardest non-violating
-        # non-member (Gumbel-perturbed argmax). The reference's fallback is
-        # the hardest of its max_samples uniform draws (`_rankfm.pyx:259-268`)
-        # — a deterministic global argmax over-concentrates updates on the
-        # single boundary item and measurably hurts ranking quality.
+        # uniform violator when found; else the reference's fallback —
+        # "hardest of max_samples uniform draws" (`_rankfm.pyx:259-268`) —
+        # emulated exactly: Bernoulli-subsample the window non-members at
+        # rate M/n_nonmem (= M uniform draws in expectation) and take the
+        # hardest inside the subset; items outside the subset ride 1e6
+        # lower so the global hardest backstops an empty subset. (Both a
+        # deterministic global argmax and a heavily-noised argmax measurably
+        # hurt ranking quality — too concentrated / too diffuse.)
+        pthr = jnp.float32(M) / jnp.maximum(n_nonmem, 1.0)        # [C,1]
+        off_subset = (u01 >= pthr).astype(jnp.float32) * 1e6
         key = jnp.where(
             found,
             jnp.where(viol, u01, -jnp.inf),
-            jnp.where(nonmem & ~viol,
-                      -pw - 0.5 * jnp.log(-jnp.log(u01)), -jnp.inf),
+            jnp.where(nonmem & ~viol, -pw - off_subset, -jnp.inf),
         )
         ratio = jnp.maximum(jnp.floor((num_items - 1) / sampled), 1.0)
         mult = jnp.log(ratio) / log_I                                  # [C,1]

@@ -92,9 +92,11 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         F = w["v_u"].shape[1]
 
         if sampler == "bitmap":
+            # 2 rounds: residual member probability is density^2 (~1e-5 on
+            # real logs) and each extra round is a [B, M] in-row gather
             cands, cand_ok = sample_negatives_bitmap(
                 key, u, hist["bitmap"], num_items, M,
-                rounds=max(2, min(sample_rounds, 4)),
+                rounds=max(1, min(sample_rounds, 2)),
             )
         else:
             cands, cand_ok = sample_negatives(
@@ -279,18 +281,26 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
 
     def step(w, x_uf, x_if, packed_hist, u, i, sw, valid, eta, alpha, beta, key):
         B = u.shape[0]
+        # G independent windows per batch (one per ~512-row group): negatives
+        # drawn from a single shared window over-correlate the j choices
+        # within a batch and cluster stale pushes on one block
+        G = 1
+        while G < 64 and B % (2 * G) == 0 and B // (2 * G) >= 128:
+            G *= 2
+        Bg = B // G
         kblk, kcand, kgeo = jax.random.split(key, 3)
-        blk = jax.random.randint(kblk, (), 0, NBLK)
+        blkg = jax.random.randint(kblk, (G,), 0, NBLK)
 
         # ---- window membership bits (blocked 16-bit pack, tile layout) ----
-        win_cols = jax.lax.dynamic_slice_in_dim(
-            packed_hist, blk * LW, LW, axis=1)                # [U, LW]
-        rows = win_cols[u]                                    # [B, LW]
-        col = jnp.arange(BLK, dtype=jnp.int32)[None, :]
-        bits = jnp.tile(rows, (1, BITS_PER_LANE))             # [B, BLK]
+        u3 = u.reshape(G, Bg)
+        win_cols = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+            packed_hist, b * LW, LW, axis=1))(blkg)           # [G, U, LW]
+        rows = jax.vmap(lambda wc, ug: wc[ug])(win_cols, u3)  # [G, Bg, LW]
+        col = jnp.arange(BLK, dtype=jnp.int32)[None, None, :]
+        bits = jnp.tile(rows, (1, 1, BITS_PER_LANE))          # [G, Bg, BLK]
         nonmem = ((bits >> (col >> lg_lw)) & 1) == 0          # pad items = member
 
-        # ---- score the window with one MXU matmul ----
+        # ---- score each group's window with one batched MXU matmul ----
         v_u_b = w["v_u"][u]                                   # [B, F]
         x_uf_b = x_uf[u]                                      # [B, P]
         user_rep_b = v_u_b + jnp.dot(x_uf_b, w["v_uf"], preferred_element_type=jnp.float32)
@@ -300,45 +310,56 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
         i_mat = jnp.concatenate([w["v_i"], item_rep - w["v_i"]], axis=-1)  # [I, 2F]
         i_pad_mat = jnp.pad(i_mat, ((0, I_pad - i_mat.shape[0]), (0, 0)))
         bias_pad = jnp.pad(item_bias, (0, I_pad - item_bias.shape[0]))
-        i_win = jax.lax.dynamic_slice_in_dim(i_pad_mat, blk * BLK, BLK, axis=0)
-        b_win = jax.lax.dynamic_slice_in_dim(bias_pad, blk * BLK, BLK, axis=0)
+        i_win = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+            i_pad_mat, b * BLK, BLK, axis=0))(blkg)           # [G, BLK, 2F]
+        b_win = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
+            bias_pad, b * BLK, BLK, axis=0))(blkg)            # [G, BLK]
         scores_win = (
-            jnp.dot(u_mat.astype(jnp.bfloat16), i_win.T.astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
-            + b_win[None, :]
-        )                                                     # [B, BLK]
+            jnp.einsum("gbf,gwf->gbw",
+                       u_mat.reshape(G, Bg, -1).astype(jnp.bfloat16),
+                       i_win.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+            + b_win[:, None, :]
+        )                                                     # [G, Bg, BLK]
         v_i_pos = w["v_i"][i]                                 # [B, F]
         x_if_pos = x_if[i]                                    # [B, Q]
         feat_rep_pos = jnp.dot(x_if_pos, w["v_if"], preferred_element_type=jnp.float32)
         i_rows = jnp.concatenate(
             [v_i_pos, feat_rep_pos], axis=-1)                 # i_mat rows of i
         ut_ui = jnp.sum(u_mat * i_rows, axis=-1) + item_bias[i]
-        pw = ut_ui[:, None] - scores_win                      # [B, BLK]
+        pw = ut_ui.reshape(G, Bg)[:, :, None] - scores_win    # [G, Bg, BLK]
 
         # ---- WARP selection (fused-kernel semantics, `ops/fused.py`) ----
-        u01 = jax.random.uniform(kcand, (B, BLK), minval=1e-7, maxval=1.0)
+        u01 = jax.random.uniform(kcand, (G, Bg, BLK), minval=1e-7, maxval=1.0)
         if M == 1:
             key_m = jnp.where(nonmem, u01, -jnp.inf)
             sampled = jnp.ones((B,), jnp.int32)
         else:
             viol = (pw < MARGIN) & nonmem
-            nv = jnp.sum(viol.astype(jnp.float32), axis=1)
-            n_nonmem = jnp.sum(nonmem.astype(jnp.float32), axis=1)
-            r1 = jax.random.uniform(kgeo, (B,), minval=1e-7, maxval=1.0)
+            nv = jnp.sum(viol.astype(jnp.float32), axis=2)            # [G, Bg]
+            n_nonmem = jnp.sum(nonmem.astype(jnp.float32), axis=2)
+            r1 = jax.random.uniform(kgeo, (G, Bg), minval=1e-7, maxval=1.0)
             p_c = jnp.clip(nv / jnp.maximum(n_nonmem, 1.0), 1e-9, 1.0 - 1e-7)
             geo = jnp.floor(jnp.log(r1) / jnp.log(1.0 - p_c)) + 1.0
             geo = jnp.where(nv > 0, geo, jnp.float32(M))
             found = (nv > 0) & (geo <= M)
-            sampled = jnp.minimum(geo, jnp.float32(M)).astype(jnp.int32)
+            sampled = jnp.minimum(geo, jnp.float32(M)).astype(jnp.int32).reshape(B)
+            # fallback = the reference's "hardest of max_samples uniform
+            # draws" (`_rankfm.pyx:259-268`): Bernoulli-subsample the window
+            # non-members at rate M/n_nonmem (= M uniform draws in
+            # expectation) and take the hardest inside the subset; items
+            # outside the subset ride 1e6 lower so the global hardest still
+            # backstops an empty subset
+            pthr = (M / jnp.maximum(n_nonmem, 1.0))[:, :, None]
+            off_subset = (u01 >= pthr).astype(jnp.float32) * 1e6
             key_m = jnp.where(
-                found[:, None],
+                found[:, :, None],
                 jnp.where(viol, u01, -jnp.inf),
-                jnp.where(nonmem & ~viol,
-                          -pw - 0.5 * jnp.log(-jnp.log(u01)), -jnp.inf),
+                jnp.where(nonmem & ~viol, -pw - off_subset, -jnp.inf),
             )
-        jloc = jnp.argmax(key_m, axis=1)
-        has_j = jnp.max(key_m, axis=1) > -jnp.inf
-        j = (blk * BLK + jloc).astype(jnp.int32)
+        jloc = jnp.argmax(key_m, axis=2)                      # [G, Bg]
+        has_j = (jnp.max(key_m, axis=2) > -jnp.inf).reshape(B)
+        j = (blkg[:, None] * BLK + jloc).reshape(B).astype(jnp.int32)
         j = jnp.minimum(j, num_items - 1)  # only reachable when has_j=False
         row_ok = (valid & has_j).astype(jnp.float32)
 
@@ -435,16 +456,22 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
 @lru_cache(maxsize=32)
 def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
                   sample_rounds=8, donate=True, sampler="bsearch",
-                  pallas_scatter=False):
+                  pallas_scatter=False, step_kind="window"):
     """Build the jitted whole-epoch function.
 
     One epoch = device-side shuffle + `lax.scan` over minibatches of the
     padded interaction arrays. Replaces the reference's per-epoch
     ``np.random.shuffle`` + N sequential sample updates (`_rankfm.pyx:218-336`).
 
-    The step is the window-WARP formulation (`make_window_train_step`);
-    ``hist`` is the blocked 16-bit history pack from
-    `rankfm_tpu.ops.fused.pack_history_device`.
+    ``step_kind`` selects the training step:
+
+    * ``'window'`` — `make_window_train_step`; ``hist`` is the blocked
+      16-bit pack from `rankfm_tpu.ops.fused.pack_history_device`. Fastest;
+      validated at metric parity up to ~8 window blocks.
+    * ``'candidate'`` — `make_train_step` (reference-style per-row candidate
+      draws); ``hist`` is the ``{'offsets','flat','bitmap'}`` dict. Slower
+      but catalog-size-independent sampling fidelity — used for very large
+      catalogs where windowed negatives measurably lag it.
 
     The returned function signature is
     ``epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta, key,
@@ -454,8 +481,12 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
     The per-epoch PRNG stream is ``fold_in(key, epoch)`` computed on device so
     callers pass the same base key every epoch.
     """
-    step = make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
-                                  pallas_scatter)
+    if step_kind == "window":
+        step = make_window_train_step(num_items, max_samples, x_uf_any,
+                                      x_if_any, pallas_scatter)
+    else:
+        step = make_train_step(num_items, max_samples, x_uf_any, x_if_any,
+                               sample_rounds, sampler, pallas_scatter)
 
     def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta,
                  key, epoch):
