@@ -70,11 +70,19 @@ def item_pad(num_items):
 
 def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
                    vmem_table_budget=8 * 2**20):
-    """Can the fused kernel run this configuration?"""
+    """Can the fused kernel run this configuration?
+
+    Besides the VMEM budget, the catalog is capped at 4 window blocks —
+    the kernel draws ONE negative window per batch, which is validated at
+    metric parity up to NBLK=4 (dense ML-1M-like data); beyond that the
+    XLA window/candidate steps take over (see `RankFM.fit_partial`).
+    """
     if x_uf_any or x_if_any or factors > LANES - 2:
         return False
-    u_pad = _round_up(num_users, 8)
     i_pad = item_pad(num_items)
+    if i_pad // block_size(num_items) > 4:
+        return False
+    u_pad = _round_up(num_users, 8)
     return (u_pad + i_pad) * LANES * 4 <= vmem_table_budget
 
 
