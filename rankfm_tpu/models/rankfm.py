@@ -500,7 +500,7 @@ class RankFM:
             return self.learning_rate / (epoch + 1) ** self.learning_exponent
 
         if fused_ok:
-            U_pad = (U + 7) // 8 * 8
+            U_pad = fused_mod.user_pad(U)
             I_pad = fused_mod.item_pad(num_items)
             if self._packed_hist is None:
                 self._packed_hist = fused_mod.pack_history_device(
@@ -509,7 +509,7 @@ class RankFM:
             w = self._weights
             tab_u, tab_i = fused_mod.extend_tables(
                 w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad)
-            rec_dev = jnp.asarray(fused_mod.make_records(u, i, sw, n))
+            rec_dev = jnp.asarray(fused_mod.make_records(u, i, sw, n, U, num_items))
             epoch_fn = fused_mod.make_fused_epoch_fn(
                 U, num_items, F, max_samples, bs, chunk=chunk)
             for epoch in range(epochs):

@@ -56,6 +56,14 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def user_pad(num_users):
+    """User-table padding: always at least one spare GUARD row — padded
+    interaction records point at it so the kernel's one-hot builds need no
+    per-element validity multiply (guard-row decay is harmless; extraction
+    slices the real rows)."""
+    return _round_up(num_users + 1, 8)
+
+
 def block_size(num_items):
     """Window block size: a POWER OF TWO in [128, 1024] (the kernel's bit
     extraction uses lane-index shifts, so BLK/16 must be a power of two)."""
@@ -175,18 +183,25 @@ def extract_tables(tab_u, tab_i, num_users, num_items, factors):
     return w_i, v_u, v_i
 
 
-def make_records(u, i, sw, n_real):
+def make_records(u, i, sw, n_real, num_users, num_items):
     """Pack padded interaction columns into one int32 [n_pad, 4] record array
     ``[u, i, bits(sw), bits(valid)]`` — the epoch shuffle then needs a single
-    row gather instead of three scalar gathers plus a concat."""
+    row gather instead of three scalar gathers plus a concat. Pad rows point
+    at the guard user row / an item pad row so the kernel's one-hot builds
+    need no validity multiply."""
     n_pad = len(u)
     rec = np.empty((n_pad, 4), dtype=np.int32)
     rec[:, 0] = u
     rec[:, 1] = i
-    rec[:, 2] = np.asarray(sw, dtype=np.float32).view(np.int32)
+    rec[:n_real, 2] = np.asarray(sw[:n_real], dtype=np.float32).view(np.int32)
     valid = np.zeros(n_pad, dtype=np.float32)
     valid[:n_real] = 1.0
     rec[:, 3] = valid.view(np.int32)
+    rec[n_real:, 0] = user_pad(num_users) - 1
+    # item guard = first pad item when one exists; else item 0 (the kernel
+    # then keeps its validity multiply on the positive one-hot)
+    rec[n_real:, 1] = num_items if num_items < item_pad(num_items) else 0
+    rec[n_real:, 2] = 0  # 0x0 == bits of 0.0f
     return rec
 
 
@@ -224,13 +239,18 @@ def _kernel(rec_ref, mask_ref, blk_ref, vu_in, vi_in,
     tab_ib = tab_i[:].astype(jnp.bfloat16)           # [I_pad,128]
     tw = tab_i[pl.ds(boff, BLK), :].astype(jnp.bfloat16)   # [BLK,128] window
 
-    # ---- one-hot gathers (MXU) ----
+    # ---- one-hot gathers (MXU); pad rows hit guard rows (make_records)
+    # so no validity multiply is needed on the one-hots themselves ----
     cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, U_pad), 1)
-    oh_u = ((u == cols_u).astype(jnp.float32) * valid).astype(jnp.bfloat16)
+    oh_u = (u == cols_u).astype(jnp.bfloat16)
     u_rows = jnp.dot(oh_u, tab_u[:].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)          # [C,128]
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, I_pad), 1)
-    oh_i = ((i == cols_i).astype(jnp.float32) * valid).astype(jnp.bfloat16)
+    if num_items < I_pad:
+        oh_i = (i == cols_i).astype(jnp.bfloat16)
+    else:
+        # no item guard row exists: keep pad rows out of the counts
+        oh_i = ((i == cols_i).astype(jnp.float32) * valid).astype(jnp.bfloat16)
     i_rows = jnp.dot(oh_i, tab_ib, preferred_element_type=jnp.float32)
     ut_ui = jnp.sum(u_rows * i_rows, axis=1, keepdims=True)       # [C,1]
 
@@ -354,7 +374,7 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     ``mask_win [B, BLK/16] int32`` pre-gathered packed window words,
     ``blk [1] int32`` the batch's window block id.
     """
-    U_pad = _round_up(num_users, 8)
+    U_pad = user_pad(num_users)
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     LW = BLK // BITS_PER_LANE

@@ -110,12 +110,13 @@ def test_fused_batch_trains():
     packed = jnp.asarray(fused.pack_history(offsets, pairs[:, 1], U, I))
     tu, ti = fused.extend_tables(
         jnp.zeros(I), jnp.asarray(rng.normal(0, 0.1, (U, F)).astype(np.float32)),
-        jnp.asarray(rng.normal(0, 0.1, (I, F)).astype(np.float32)), 64, 128)
+        jnp.asarray(rng.normal(0, 0.1, (I, F)).astype(np.float32)),
+        fused.user_pad(U), 128)
     n = len(pairs)
     u = np.zeros(B, np.int32); i = np.zeros(B, np.int32); sw = np.zeros(B, np.float32)
     u[:n] = pairs[:, 0]; i[:n] = pairs[:, 1]; sw[:n] = 1.0
     epoch = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128, donate=False)
-    rec = jnp.asarray(fused.make_records(u, i, sw, n))
+    rec = jnp.asarray(fused.make_records(u, i, sw, n, U, I))
     lls = []
     for e in range(10):
         tu, ti, ll = epoch(tu, ti, packed, rec, 0.1, 0.01,
