@@ -45,8 +45,13 @@ def main():
     t0 = time.time()
     model.fit(train, epochs=20, verbose=False)
     fit_s = time.time() - t0
-    thr = len(train) * 20 / sum(e["seconds"] for e in model.training_log_)
-    print(f"fit: {fit_s:.1f}s wall ({thr/1e6:.2f}M interaction-updates/s steady)")
+    # steady-state throughput: re-fit with the compile cache warm
+    t0 = time.time()
+    model.fit_partial(train, epochs=20)
+    steady = time.time() - t0
+    print(f"fit: {fit_s:.1f}s incl compile; steady 20 epochs {steady:.2f}s "
+          f"({len(train) * 20 / steady / 1e6:.1f}M interaction-updates/s; "
+          f"reference: 29.7s on a 2.3 GHz i5)")
 
     t0 = time.time()
     metrics = {
