@@ -25,6 +25,30 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address=None, num_processes=None,
+                     process_id=None):
+    """Initialize the multi-host runtime (idempotent convenience wrapper).
+
+    On TPU pods the three arguments are discovered from the environment, so
+    ``init_distributed()`` with no arguments is enough on each host; build
+    the mesh from the global ``jax.devices()`` afterwards. This is the
+    TPU-native replacement for the NCCL/MPI process-group bootstrap the
+    reference never had (SURVEY.md §2.6).
+    """
+    if jax.process_count() > 1 or getattr(init_distributed, "_done", False):
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs.update(coordinator_address=coordinator_address,
+                      num_processes=num_processes, process_id=process_id)
+    try:
+        jax.distributed.initialize(**kwargs)
+        init_distributed._done = True
+    except (RuntimeError, ValueError):
+        # single-process environments (tests, one-chip dev) need no runtime
+        pass
+
+
 def make_mesh(data=None, model=None, devices=None):
     """Create a ``(data, model)`` mesh.
 

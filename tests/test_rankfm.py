@@ -300,3 +300,16 @@ def test__similar_users__bad():
         model = RankFM(factors=2)
         model.fit(intx_train_pd_int)
         model.similar_users(9, n_users=1)
+
+
+def test_training_step_dispatch_by_catalog_size():
+    """window step through 8 blocks, candidate step beyond (quality floor)"""
+    from rankfm_tpu.ops import fused
+
+    def nblk(i):
+        return fused.item_pad(i) // fused.block_size(i)
+
+    assert nblk(3706) == 4       # ML-1M -> fused/window regime
+    assert nblk(8192) == 8       # window XLA regime
+    assert nblk(33362) > 8       # candidate regime
+    assert fused.user_pad(6040) > 6040  # guard row always present
