@@ -64,7 +64,7 @@ class RankFM:
                  sigma=0.1, learning_rate=0.1, learning_schedule='constant',
                  learning_exponent=0.25, *, batch_size=None, seed=1492,
                  sample_rounds=8, neg_sampler='auto', use_fused='auto',
-                 mesh=None):
+                 train_step='auto', mesh=None):
         """store hyperparameters and initialize internal model state
 
         :param factors: latent factor rank
@@ -89,6 +89,10 @@ class RankFM:
             packed bitmap fits in ~512 MB)
         :param use_fused: use the fused Pallas training kernel when eligible
             (no side features, tables fit VMEM): True / False / 'auto'
+        :param train_step: XLA step flavor: 'window' (windowed negatives, up
+            to ~20x faster), 'candidate' (reference-style per-row candidate
+            draws, catalog-size-independent sampling fidelity), or 'auto'
+            (window through 8 window blocks, candidate beyond)
         :param mesh: optional `jax.sharding.Mesh` with axes ('data', 'model')
             for sharded tables/batches; None = single-device
         """
@@ -118,6 +122,9 @@ class RankFM:
             "[neg_sampler] must be in ('auto', 'bitmap', 'bsearch')"
         assert use_fused in (True, False, 'auto'), \
             "[use_fused] must be in (True, False, 'auto')"
+        assert train_step in ('auto', 'window', 'candidate'), \
+            "[train_step] must be in ('auto', 'window', 'candidate')"
+        self.train_step = train_step
         self.batch_size = batch_size
         self.seed = seed
         self.sample_rounds = sample_rounds
@@ -535,8 +542,12 @@ class RankFM:
             # windowed negatives are at metric parity with reference-style
             # candidate draws up to ~8 window blocks; beyond that the
             # candidate step's catalog-wide sampling measurably wins
-            nblk = fused_mod.item_pad(num_items) // fused_mod.block_size(num_items)
-            step_kind = 'window' if nblk <= 8 else 'candidate'
+            if self.train_step == 'auto':
+                nblk = (fused_mod.item_pad(num_items)
+                        // fused_mod.block_size(num_items))
+                step_kind = 'window' if nblk <= 8 else 'candidate'
+            else:
+                step_kind = self.train_step
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs, n_pad,
                       self._sampler, self.mesh is not None, step_kind,
                       tuple(v.shape for v in self._weights.values()))
