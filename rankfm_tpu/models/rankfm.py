@@ -170,6 +170,8 @@ class RankFM:
         self._bitmap_dev = None
         self._sampler = None
         self._packed_hist = None
+        self._ingest_hash = None
+        self._keep_cache = None
 
         self._epoch_fn = None
         self._epoch_fn_key = None
@@ -245,20 +247,32 @@ class RankFM:
         assert isinstance(interactions, (np.ndarray, pd.DataFrame)), "[interactions] must be np.ndarray or pd.dataframe"
         assert interactions.shape[1] == 2, "[interactions] should be: [user_id, item_id]"
 
-        prev_csr = (self._ui_offsets, self._ui_items) if self.is_fit else None
-        ingested = self._native_ingest(interactions, prev_csr)
-        if ingested is not None:
-            pairs, keep, offsets, items = ingested
-            self.interactions = pairs
+        # re-presenting identical interactions (warm-start loops, repeated
+        # fit_partial) skips the whole map/CSR/bit-pack rebuild: the history
+        # union with itself is a no-op
+        h = self._hash_interactions(interactions)
+        if (self.is_fit and h is not None and h == self._ingest_hash
+                and self._keep_cache is not None):
+            keep = self._keep_cache
+            unchanged = True
         else:
-            pairs, keep = map_interactions(interactions, self.user_to_index, self.item_to_index)
-            self.interactions = pairs
-            offsets, items = build_user_items_csr(pairs, len(self.user_idx))
-            if prev_csr is not None:
-                # fit_partial: union with previous histories (`rankfm.py:170-172`)
-                offsets, items = merge_user_items_csr(
-                    prev_csr[0], prev_csr[1], offsets, items, len(self.user_idx)
-                )
+            unchanged = False
+            prev_csr = (self._ui_offsets, self._ui_items) if self.is_fit else None
+            ingested = self._native_ingest(interactions, prev_csr)
+            if ingested is not None:
+                pairs, keep, offsets, items = ingested
+                self.interactions = pairs
+            else:
+                pairs, keep = map_interactions(interactions, self.user_to_index, self.item_to_index)
+                self.interactions = pairs
+                offsets, items = build_user_items_csr(pairs, len(self.user_idx))
+                if prev_csr is not None:
+                    # fit_partial: union with previous histories (`rankfm.py:170-172`)
+                    offsets, items = merge_user_items_csr(
+                        prev_csr[0], prev_csr[1], offsets, items, len(self.user_idx)
+                    )
+            self._ingest_hash = h
+            self._keep_cache = keep
 
         if sample_weight is not None:
             assert isinstance(sample_weight, (np.ndarray, pd.Series)), "[sample_weight] must be np.ndarray or pd.series"
@@ -267,6 +281,8 @@ class RankFM:
             self.sample_weight = np.ascontiguousarray(get_data(sample_weight)[keep], dtype=np.float32)
         else:
             self.sample_weight = np.ones(len(self.interactions), dtype=np.float32)
+        if unchanged:
+            return
         self._ui_offsets, self._ui_items = offsets, items
         self._offsets_dev = jnp.asarray(offsets)
         self._flat_items_dev = jnp.asarray(items)
@@ -284,6 +300,16 @@ class RankFM:
         else:
             self._sampler = 'bsearch'
         self._bitmap_dev = None
+
+    def _hash_interactions(self, interactions):
+        """native content hash of the raw id columns; None when unavailable"""
+        from rankfm_tpu.utils.data import _int64_view
+        from rankfm_tpu import native
+        arr = get_data(interactions)
+        u_raw, i_raw = _int64_view(arr[:, 0]), _int64_view(arr[:, 1])
+        if u_raw is None or i_raw is None:
+            return None
+        return native.hash_pairs(u_raw, i_raw)
 
     def _ensure_bitmap(self):
         """Build the packed membership bitmap on first XLA-path use."""

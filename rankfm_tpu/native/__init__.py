@@ -55,6 +55,9 @@ def get_lib():
             lib.rfm_build_csr.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p]
+            lib.rfm_hash_pairs.restype = ctypes.c_uint64
+            lib.rfm_hash_pairs.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
             lib.rfm_ingest.restype = ctypes.c_int64
             lib.rfm_ingest.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,   # u_raw, i_raw, n
@@ -95,6 +98,16 @@ def map_ids(raw, sorted_unique):
     out = np.empty(len(raw), dtype=np.int32)
     lib.rfm_map_ids(_ptr(raw), len(raw), _ptr(su), len(su), _ptr(out))
     return out
+
+
+def hash_pairs(u_raw, i_raw):
+    """64-bit content hash of the raw id columns; None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    u_raw = np.ascontiguousarray(u_raw, dtype=np.int64)
+    i_raw = np.ascontiguousarray(i_raw, dtype=np.int64)
+    return int(lib.rfm_hash_pairs(_ptr(u_raw), _ptr(i_raw), len(u_raw)))
 
 
 def ingest(u_raw, i_raw, uids, iids, prev_csr=None):

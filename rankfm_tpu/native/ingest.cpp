@@ -80,6 +80,21 @@ int64_t rfm_build_csr(const int32_t* users, const int32_t* items, int64_t n,
 // offsets_out: int32[nu + 1]
 // items_out:   int32[n_kept + prev_nnz] capacity
 // Returns nnz of the merged CSR; writes number of kept rows to *n_kept_out.
+// Order-sensitive 64-bit content hash of an id-pair column pair; used to
+// detect `fit_partial` calls that re-present identical interactions so the
+// CSR/bit-pack rebuild can be skipped entirely.
+uint64_t rfm_hash_pairs(const int64_t* a, const int64_t* b, int64_t n) {
+    uint64_t h = 1469598103934665603ull ^ static_cast<uint64_t>(n);
+    for (int64_t r = 0; r < n; ++r) {
+        uint64_t x = static_cast<uint64_t>(a[r]) * 0x9e3779b97f4a7c15ull
+                   ^ static_cast<uint64_t>(b[r]) + 0x517cc1b727220a95ull;
+        x ^= x >> 29;
+        h = (h ^ x) * 0x2545f4914f6cdd1dull;
+        h ^= h >> 31;
+    }
+    return h;
+}
+
 // Open-addressing hash of a sorted-unique int64 id array -> dense index.
 // O(1) lookups beat per-row binary search ~5x on long id columns.
 struct IdHash {
