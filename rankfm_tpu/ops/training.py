@@ -92,11 +92,14 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         F = w["v_u"].shape[1]
 
         if sampler == "bitmap":
-            # 2 rounds: residual member probability is density^2 (~1e-5 on
-            # real logs) and each extra round is a [B, M] in-row gather
+            # each round is a [B, M] in-row gather (milliseconds at scale).
+            # Large catalogs (the only users of this step, see the dispatch
+            # in RankFM.fit_partial) have member-hit rates h/I << 1%, so a
+            # single test with drop-on-member loses ~1% of candidates vs
+            # the reference's redraw — well under sampling noise
+            rounds = 1 if num_items > 8192 else max(1, min(sample_rounds, 2))
             cands, cand_ok = sample_negatives_bitmap(
-                key, u, hist["bitmap"], num_items, M,
-                rounds=max(1, min(sample_rounds, 2)),
+                key, u, hist["bitmap"], num_items, M, rounds=rounds,
             )
         else:
             cands, cand_ok = sample_negatives(
