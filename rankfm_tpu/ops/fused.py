@@ -476,39 +476,6 @@ def _epoch_body(batch_fn, num_items, batch_size, chunk):
 
 
 @lru_cache(maxsize=16)
-def make_fused_epochs_fn(num_users, num_items, factors, max_samples,
-                         batch_size, chunk=128, donate=True):
-    """Multi-epoch driver: ONE device dispatch for a whole `fit_partial`.
-
-    Signature: ``fn(tab_u, tab_i, packed_hist, rec, etas, alpha, key) ->
-    (tab_u, tab_i, ll_per_epoch)`` where ``rec`` is the packed record array
-    (`make_records`), ``etas`` the per-epoch learning-rate vector
-    (`_rankfm.pyx:220-225` schedule, computed on host) and
-    ``ll_per_epoch [E]`` the per-epoch log-likelihoods.
-    """
-    batch_fn = make_fused_batch_fn(num_users, num_items, factors, max_samples,
-                                   batch_size, chunk)
-    one_epoch = _epoch_body(batch_fn, num_items, batch_size, chunk)
-
-    def epochs_fn(tab_u, tab_i, packed_hist, rec, etas, alpha, key):
-        E = etas.shape[0]
-        keys = jax.random.split(key, E)
-
-        def body(carry, xs):
-            tu, ti = carry
-            eta_e, key_e = xs
-            tu, ti, ll = one_epoch(tu, ti, packed_hist, rec, eta_e, alpha,
-                                   key_e, 0)
-            return (tu, ti), ll
-
-        (tab_u, tab_i), lls = jax.lax.scan(body, (tab_u, tab_i), (etas, keys))
-        return tab_u, tab_i, lls
-
-    donate_argnums = (0, 1) if donate else ()
-    return jax.jit(epochs_fn, donate_argnums=donate_argnums)
-
-
-@lru_cache(maxsize=16)
 def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
                         chunk=128, donate=True):
     """Whole-epoch driver around the fused kernel: device shuffle, packed-mask
