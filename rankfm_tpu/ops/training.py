@@ -71,7 +71,7 @@ def _decay_apply(wt, grad, counts, eta, reg):
 
 
 def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
-                    sampler="bsearch", pallas_scatter=False):
+                    sampler="bsearch", pallas_scatter=False, post_reject=False):
     """Build the jittable single-batch training step.
 
     Static configuration: catalog size, WARP width, whether user/item features
@@ -87,19 +87,28 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
     M = max_samples
     log_I = math.log(num_items) if num_items > 1 else 1.0
 
+    # pre-rejection membership tests are [B, M] in-row gathers —
+    # millisecond-class on TPU. With ``post_reject`` (single-device large
+    # catalogs, member-hit rate h/I << 1%) we instead test ONLY the SELECTED
+    # negative post-hoc ([B]-element gather) and re-select once when it was
+    # a member: the reference's in-place redraw (`_rankfm.pyx:249-252`) at
+    # ~0.4% slot-pollution fidelity, without any [B, M] gather. Kept off for
+    # the mesh path: element gathers against a row-sharded bitmap would
+    # force per-step all-gathers.
+    post_reject = post_reject and sampler == "bitmap" and M > 1
+
     def step(w, x_uf, x_if, hist, u, i, sw, valid, eta, alpha, beta, key):
         B = u.shape[0]
         F = w["v_u"].shape[1]
 
-        if sampler == "bitmap":
-            # each round is a [B, M] in-row gather (milliseconds at scale).
-            # Large catalogs (the only users of this step, see the dispatch
-            # in RankFM.fit_partial) have member-hit rates h/I << 1%, so a
-            # single test with drop-on-member loses ~1% of candidates vs
-            # the reference's redraw — well under sampling noise
-            rounds = 1 if num_items > 8192 else max(1, min(sample_rounds, 2))
+        if post_reject:
+            cands = jax.random.randint(key, (B, M), 0, num_items,
+                                       dtype=jnp.int32)
+            cand_ok = jnp.ones((B, M), bool)
+        elif sampler == "bitmap":
             cands, cand_ok = sample_negatives_bitmap(
-                key, u, hist["bitmap"], num_items, M, rounds=rounds,
+                key, u, hist["bitmap"], num_items, M,
+                rounds=max(1, min(sample_rounds, 2)),
             )
         else:
             cands, cand_ok = sample_negatives(
@@ -130,14 +139,17 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
             ut_uj = jnp.take_along_axis(scores_all, cands, axis=1)        # [B, M]
         else:
             # large catalog: a [B, I] score matrix costs GBs of HBM traffic
-            # per elementwise pass — gather only the M candidate rows
-            u_b16 = u_mat.astype(jnp.bfloat16)
-            cand_rows = i_mat[cands.reshape(-1)].reshape(B, M, -1)        # [B,M,2F]
-            ut_uj = (
-                jnp.einsum("bf,bmf->bm", u_b16, cand_rows.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-                + item_bias[cands]
-            )
+            # per elementwise pass — gather only the M candidate rows.
+            # The bias rides as an extra bf16 column so candidate scoring is
+            # ONE row gather (bf16: half the random-read bytes) + one einsum
+            i_ext16 = jnp.concatenate(
+                [i_mat, item_bias[:, None]], axis=-1).astype(jnp.bfloat16)
+            u_ext16 = jnp.concatenate(
+                [u_mat, jnp.ones((B, 1), u_mat.dtype)], axis=-1
+            ).astype(jnp.bfloat16)
+            cand_rows = i_ext16[cands.reshape(-1)].reshape(B, M, -1)  # [B,M,2F+1]
+            ut_uj = jnp.einsum("bf,bmf->bm", u_ext16, cand_rows,
+                               preferred_element_type=jnp.float32)
             pos_rows = i_mat[i]                                           # [B, 2F]
             ut_ui = (
                 jnp.sum(u_mat * pos_rows, axis=-1) + item_bias[i]
@@ -146,16 +158,35 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         # ---- WARP selection: first margin violator, else hardest negative ----
         pairwise = ut_ui[:, None] - ut_uj                     # [B, M]
         pairwise = jnp.where(cand_ok, pairwise, jnp.inf)
-        viol = pairwise < MARGIN
-        any_viol = jnp.any(viol, axis=-1)
-        first_viol = jnp.argmax(viol, axis=-1)
-        sel = jnp.where(any_viol, first_viol, jnp.argmin(pairwise, axis=-1))  # [B]
-        sampled = jnp.where(any_viol, first_viol + 1, M).astype(jnp.int32)
 
-        take = lambda a: jnp.take_along_axis(a, sel[:, None], axis=1)[:, 0]
-        j = take(cands)                                       # [B]
-        pw = take(pairwise)
-        row_ok = (valid & take(cand_ok)).astype(jnp.float32)  # [B]
+        def select(pw_mat, ok_mat):
+            viol = pw_mat < MARGIN
+            any_viol = jnp.any(viol, axis=-1)
+            first_viol = jnp.argmax(viol, axis=-1)
+            sel = jnp.where(any_viol, first_viol, jnp.argmin(pw_mat, axis=-1))
+            sampled = jnp.where(any_viol, first_viol + 1, M).astype(jnp.int32)
+            take = lambda a: jnp.take_along_axis(a, sel[:, None], axis=1)[:, 0]
+            return sel, sampled, take(cands), take(pw_mat), take(ok_mat)
+
+        sel, sampled, j, pw, ok_sel = select(pairwise, cand_ok)
+        if post_reject:
+            # membership of the selected negative only; mask a member slot
+            # and re-select (second members are ~(h/I)^2-rare: drop the row)
+            bm = hist["bitmap"]
+            for _ in range(2):
+                word = bm[u, (j >> 5).astype(jnp.int32)]
+                is_mem = ((word >> (j & 31).astype(jnp.uint32))
+                          & jnp.uint32(1)).astype(bool)
+                pairwise = jnp.where(
+                    is_mem[:, None]
+                    & (jnp.arange(M)[None, :] == sel[:, None]),
+                    jnp.inf, pairwise)
+                sel, sampled, j, pw, ok_sel = select(pairwise, cand_ok)
+            word = bm[u, (j >> 5).astype(jnp.int32)]
+            is_mem = ((word >> (j & 31).astype(jnp.uint32))
+                      & jnp.uint32(1)).astype(bool)
+            ok_sel = ok_sel & ~is_mem
+        row_ok = (valid & ok_sel & jnp.isfinite(pw)).astype(jnp.float32)
 
         # multiplier = log((I-1) // sampled) / log(I)   (C int division)
         ratio = jnp.maximum((num_items - 1) // sampled, 1).astype(jnp.float32)
@@ -489,7 +520,8 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
                                       x_if_any, pallas_scatter)
     else:
         step = make_train_step(num_items, max_samples, x_uf_any, x_if_any,
-                               sample_rounds, sampler, pallas_scatter)
+                               sample_rounds, sampler, pallas_scatter,
+                               post_reject=True)
 
     def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta,
                  key, epoch):
