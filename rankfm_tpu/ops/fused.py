@@ -56,12 +56,25 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+UBLK = 1024  # user-bucket size: each chunk's rows share one user block
+
+
+def user_block(num_users):
+    """User-block size: the whole (guarded) table when it is small, else
+    1024 — chunks are then bucketed so each touches ONE block and the
+    user-side one-hot matmuls contract over UB rows instead of U_pad."""
+    return min(UBLK, _round_up(num_users + 1, 8))
+
+
 def user_pad(num_users):
-    """User-table padding: always at least one spare GUARD row — padded
-    interaction records point at it so the kernel's one-hot builds need no
-    per-element validity multiply (guard-row decay is harmless; extraction
-    slices the real rows)."""
-    return _round_up(num_users + 1, 8)
+    """User-table padding: at least one spare GUARD row, rounded to a whole
+    number of user blocks."""
+    ub = user_block(num_users)
+    return _round_up(num_users + 1, ub)
+
+
+def num_user_blocks(num_users):
+    return user_pad(num_users) // user_block(num_users)
 
 
 def block_size(num_items):
@@ -205,11 +218,11 @@ def make_records(u, i, sw, n_real, num_users, num_items):
     return rec
 
 
-def _kernel(rec_ref, mask_ref, blk_ref, vu_in, vi_in,
+def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
             seed_ref, eta_ref, dreg_ref,
             vu_out, vi_out, ll_out,
             tab_u, tab_i, ll_acc, copy_sem,
-            *, U_pad, I_pad, F, M, C, BLK, num_items):
+            *, U_pad, UB, I_pad, F, M, C, BLK, num_items):
     LW = BLK // BITS_PER_LANE
     lg_lw = LW.bit_length() - 1
     t = pl.program_id(0)
@@ -235,16 +248,30 @@ def _kernel(rec_ref, mask_ref, blk_ref, vu_in, vi_in,
     eta = eta_ref[0]
     dreg = dreg_ref[0]                               # eta * 2 * alpha
     boff = blk_ref[0] * BLK                          # window start (per batch)
+    ubase = ublk_ref[t] * UB                         # user block (per chunk)
 
     tab_ib = tab_i[:].astype(jnp.bfloat16)           # [I_pad,128]
     tw = tab_i[pl.ds(boff, BLK), :].astype(jnp.bfloat16)   # [BLK,128] window
 
-    # ---- one-hot gathers (MXU); pad rows hit guard rows (make_records)
-    # so no validity multiply is needed on the one-hots themselves ----
-    cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, U_pad), 1)
-    oh_u = (u == cols_u).astype(jnp.bfloat16)
-    u_rows = jnp.dot(oh_u, tab_u[:].astype(jnp.bfloat16),
+    # ---- one-hot gathers (MXU). The batch layout buckets every chunk's
+    # rows into ONE user block (see `_make_bucketer`), so the user one-hot
+    # contracts over UB rows, not U_pad. Validity masks keep per-block pad
+    # slots out of the counts ----
+    cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, UB), 1) + ubase
+    oh_uf = (u == cols_u).astype(jnp.float32) * valid             # [C,UB] f32
+    oh_u = oh_uf.astype(jnp.bfloat16)
+    u_rows = jnp.dot(oh_u, tab_u[pl.ds(ubase, UB), :].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)          # [C,128]
+    # window membership words for the chunk's users, via the SAME one-hot —
+    # replaces a [B_pad, LW] XLA row gather per batch. The MXU runs bf16
+    # passes, so the 16-bit words go through as two EXACT 8-bit planes
+    # (0xFFFF in one bf16 pass would round to 65536 and corrupt every bit)
+    winblk = wincols_ref[pl.ds(ubase, UB), :]                     # [UB,LW]
+    mlo = jnp.dot(oh_u, (winblk & 0xFF).astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    mhi = jnp.dot(oh_u, ((winblk >> 8) & 0xFF).astype(jnp.bfloat16),
+                  preferred_element_type=jnp.float32)
+    mask_rows = (mlo + 256.0 * mhi).astype(jnp.int32)             # [C,LW]
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, I_pad), 1)
     if num_items < I_pad:
         oh_i = (i == cols_i).astype(jnp.bfloat16)
@@ -261,7 +288,7 @@ def _kernel(rec_ref, mask_ref, blk_ref, vu_in, vi_in,
     pw = ut_ui - all_w                                                 # [C,BLK]
 
     # ---- window membership from packed bits (int ops only) ----
-    v = pltpu.repeat(mask_ref[:], BITS_PER_LANE, axis=1)               # [C,BLK]
+    v = pltpu.repeat(mask_rows, BITS_PER_LANE, axis=1)                 # [C,BLK]
     col = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1)
     nonmem = ((v >> (col >> lg_lw)) & 1) == 0                          # [C,BLK]
 
@@ -328,7 +355,7 @@ def _kernel(rec_ref, mask_ref, blk_ref, vu_in, vi_in,
 
     ones_c = jnp.ones((C, 1), jnp.bfloat16)
     count_u = jax.lax.dot_general(oh_u, ones_c, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # [U_pad,1]
+                                  preferred_element_type=jnp.float32)  # [UB,1]
     count_i = jax.lax.dot_general(oh_i, ones_c, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # [I_pad,1]
     count_j = jax.lax.dot_general(oh_jb, ones_c, (((0,), (0,)), ((), ())),
@@ -337,8 +364,9 @@ def _kernel(rec_ref, mask_ref, blk_ref, vu_in, vi_in,
     scat_u = jax.lax.dot_general(oh_u, g_u.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    tab_u[:] = tab_u[:] * (1.0 - dreg * count_u) + eta * scat_u
-    tab_u[:, F:F + 1] = jnp.ones((U_pad, 1), jnp.float32)  # restore user col
+    tub = tab_u[pl.ds(ubase, UB), :]
+    tab_u[pl.ds(ubase, UB), :] = tub * (1.0 - dreg * count_u) + eta * scat_u
+    tab_u[pl.ds(ubase, UB), F:F + 1] = jnp.ones((UB, 1), jnp.float32)
 
     scat_i = jax.lax.dot_general(oh_i, g_ip.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
@@ -367,14 +395,20 @@ def _kernel(rec_ref, mask_ref, blk_ref, vu_in, vi_in,
 @lru_cache(maxsize=16)
 def make_fused_batch_fn(num_users, num_items, factors, max_samples,
                         batch_size, chunk=128):
-    """Build ``fn(tab_u, tab_i, rec, mask_win, blk, seed, eta, dreg)
+    """Build ``fn(tab_u, tab_i, rec, win_cols, blk, ublk, seed, eta, dreg)
     -> (tab_u, tab_i, ll)`` running one minibatch fully fused.
 
-    ``rec [B,4] int32`` packed interaction records (see `make_records`),
-    ``mask_win [B, BLK/16] int32`` pre-gathered packed window words,
-    ``blk [1] int32`` the batch's window block id.
+    ``rec [B_pad,4] int32`` bucketed interaction records (`_make_bucketer`),
+    ``win_cols [U_pad, BLK/16] int32`` the window's packed membership
+    columns for ALL users (the kernel gathers per-chunk rows itself via the
+    user one-hot),
+    ``blk [1] int32`` the batch's window block id,
+    ``ublk [nT] int32`` each chunk's user block id.
+
+    ``batch_size`` here is the BUCKETED row count (`bucketed_size`).
     """
     U_pad = user_pad(num_users)
+    UB = user_block(num_users)
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     LW = BLK // BITS_PER_LANE
@@ -385,7 +419,7 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     assert batch_size % C == 0
     nT = batch_size // C
 
-    kern = partial(_kernel, U_pad=U_pad, I_pad=I_pad, F=factors,
+    kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
                    M=max_samples, C=C, BLK=BLK, num_items=num_items)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -393,8 +427,10 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
         grid=(nT,),
         in_specs=[
             pl.BlockSpec((C, 4), lambda t: (t, 0), memory_space=pltpu.VMEM),   # rec
-            pl.BlockSpec((C, LW), lambda t: (t, 0), memory_space=pltpu.VMEM),  # mask
+            pl.BlockSpec((U_pad, LW), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),                             # win cols
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
+            pl.BlockSpec(memory_space=pltpu.SMEM),                             # ublk
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vu_in
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vi_in
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # seed
@@ -422,54 +458,121 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
             jax.ShapeDtypeStruct((I_pad, LANES), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        input_output_aliases={3: 0, 4: 1},
+        input_output_aliases={4: 0, 5: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         ),
     )
 
-    def fn(tab_u, tab_i, rec, mask_win, blk, seed, eta, dreg):
-        tu, ti, ll = call(rec, mask_win, blk, tab_u, tab_i, seed, eta, dreg)
+    def fn(tab_u, tab_i, rec, win_cols, blk, ublk, seed, eta, dreg):
+        tu, ti, ll = call(rec, win_cols, blk, ublk, tab_u, tab_i,
+                          seed, eta, dreg)
         return tu, ti, ll[0, 0]
 
     return fn
 
 
-def _epoch_body(batch_fn, num_items, batch_size, chunk):
+def bucketed_size(num_users, batch_size, chunk):
+    """Row count of a batch after per-user-block bucket padding."""
+    nbu = num_user_blocks(num_users)
+    return batch_size + nbu * chunk if nbu > 1 else batch_size
+
+
+def _make_bucketer(num_users, num_items, batch_size, chunk):
+    """Build ``bucket(rec [B,4], key) -> (rec_pad [B_pad,4], ublk [nT])``:
+    reorder a batch so every ``chunk``-row group's rows share ONE user block
+    (each block's run padded to a whole number of chunks with invalid guard
+    records). Block processing order is re-randomized per batch. All shapes
+    static; no scatters — one small sort + row gathers."""
+    UB = user_block(num_users)
+    NBU = num_user_blocks(num_users)
+    assert UB == UBLK and (UB & (UB - 1)) == 0
+    B = batch_size
+    B_pad = bucketed_size(num_users, batch_size, chunk)
+    nT = B_pad // chunk
+    guard_i = num_items if num_items < item_pad(num_items) else 0
+    guard_rec = jnp.asarray([0, guard_i, 0, 0], jnp.int32)
+
+    def bucket(rec, key):
+        ub_ids = rec[:, 0] >> 10                                  # [B]
+        bperm = jax.random.permutation(key, NBU)
+        rank = jnp.argsort(bperm)                                 # block -> slot
+        sort_key = rank[ub_ids]
+        # sort with the record columns as payload (no post-sort row gather)
+        _, r0, r1, r2, r3 = jax.lax.sort(
+            (sort_key, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]),
+            num_keys=1)
+        rec_s = jnp.stack([r0, r1, r2, r3], axis=1)
+        cnt = jnp.sum(sort_key[:, None] == jnp.arange(NBU)[None, :],
+                      axis=0, dtype=jnp.int32)                    # per slot
+        starts = jnp.cumsum(cnt) - cnt
+        pad_cnt = (cnt + chunk - 1) // chunk * chunk
+        pad_end = jnp.cumsum(pad_cnt)
+        pad_off = pad_end - pad_cnt
+        chunk_start = jnp.arange(nT, dtype=jnp.int32) * chunk
+        cb = jnp.minimum(
+            jnp.searchsorted(pad_end, chunk_start, side="right"), NBU - 1)
+        ublk = bperm[cb].astype(jnp.int32)                        # [nT]
+        slot = jnp.arange(B_pad, dtype=jnp.int32)
+        sb = cb[slot // chunk]                                    # [B_pad]
+        intra = slot - pad_off[sb]
+        vslot = (intra >= 0) & (intra < cnt[sb])
+        src = starts[sb] + jnp.clip(intra, 0, jnp.maximum(cnt[sb] - 1, 0))
+        rec_pad = jnp.where(vslot[:, None], rec_s[src], guard_rec[None, :])
+        return rec_pad, ublk
+
+    return bucket
+
+
+def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
     """Shared single-epoch logic: device shuffle + scan over minibatches."""
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     LW = BLK // BITS_PER_LANE
     NBLK = I_pad // BLK
+    NBU = num_user_blocks(num_users)
+    B_pad = bucketed_size(num_users, batch_size, chunk)
+    nT = B_pad // chunk
+    bucket = (_make_bucketer(num_users, num_items, batch_size, chunk)
+              if NBU > 1 else None)
 
     def one_epoch(tab_u, tab_i, packed_hist, rec, eta, alpha, key, epoch):
         n_pad = rec.shape[0]
         nb = n_pad // batch_size
         key = jax.random.fold_in(key, epoch)
-        kperm, ksamp, kblk = jax.random.split(key, 3)
+        kperm, ksamp, kblk, kbu = jax.random.split(key, 4)
         perm = jax.random.permutation(kperm, n_pad)
         recp = jnp.take(rec, perm, axis=0).reshape(nb, batch_size, 4)
         seeds = jax.random.randint(ksamp, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
         blks = jax.random.randint(kblk, (nb,), 0, NBLK, dtype=jnp.int32)
+        bkeys = jax.random.split(kbu, nb)
         eta_arr = jnp.reshape(jnp.asarray(eta, jnp.float32), (1,))
         dreg_arr = eta_arr * (2.0 * jnp.asarray(alpha, jnp.float32))
 
+        U_pad = user_pad(num_users)
+        num_u = packed_hist.shape[0]
+
         def body(carry, xs):
             tu, ti = carry
-            rec_, seed_, blk_ = xs
-            # ONE window block per batch: slice the window's packed columns
-            # first ([U, LW]) so the row gather moves B*LW words, not B*W
+            rec_, seed_, blk_, bkey_ = xs
+            if bucket is not None:
+                rec_b, ublk = bucket(rec_, bkey_)
+            else:
+                rec_b, ublk = rec_, jnp.zeros((nT,), jnp.int32)
+            # ONE window block per batch: slice its packed membership
+            # columns for all users ([U_pad, LW]); the kernel gathers each
+            # chunk's rows itself via the user one-hot matmul
             win_cols = jax.lax.dynamic_slice_in_dim(
                 packed_hist, blk_ * LW, LW, axis=1)              # [U, LW]
-            win = win_cols[rec_[:, 0]]                           # [B, LW]
-            tu, ti, ll = batch_fn(tu, ti, rec_, win,
-                                  jnp.reshape(blk_, (1,)),
+            win_cols = jnp.pad(win_cols, ((0, U_pad - num_u), (0, 0)))
+            tu, ti, ll = batch_fn(tu, ti, rec_b, win_cols,
+                                  jnp.reshape(blk_, (1,)), ublk,
                                   jnp.reshape(seed_, (1,)),
                                   eta_arr, dreg_arr)
             return (tu, ti), ll
 
         (tab_u, tab_i), lls = jax.lax.scan(
-            body, (tab_u, tab_i), (recp, seeds, blks))
+            body, (tab_u, tab_i), (recp, seeds, blks, bkeys))
         return tab_u, tab_i, jnp.sum(lls)
 
     return one_epoch
@@ -487,9 +590,10 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     the caller passes the same base key every epoch (no per-epoch host-side
     PRNG dispatches).
     """
-    batch_fn = make_fused_batch_fn(num_users, num_items, factors, max_samples,
-                                   batch_size, chunk)
-    one_epoch = _epoch_body(batch_fn, num_items, batch_size, chunk)
+    batch_fn = make_fused_batch_fn(
+        num_users, num_items, factors, max_samples,
+        bucketed_size(num_users, batch_size, chunk), chunk)
+    one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size, chunk)
 
     def epoch_fn(tab_u, tab_i, packed_hist, rec, eta, alpha, key, epoch):
         return one_epoch(tab_u, tab_i, packed_hist, rec,

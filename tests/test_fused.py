@@ -124,3 +124,28 @@ def test_fused_batch_trains():
         lls.append(float(ll))
     assert np.isfinite(lls).all()
     assert lls[-1] > lls[0]  # log-likelihood improves
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
+                    reason="Mosaic kernel needs TPU hardware")
+def test_full_history_users_get_no_updates():
+    """adversarial membership check: when a user's history covers the whole
+    catalog there are no legal negatives — the epoch's log-likelihood must be
+    EXACTLY zero (this catches any bit-pack / mask-gather corruption, e.g.
+    bf16 rounding of dense 16-bit words)"""
+    U, I, F, M, B = 600, 128, 8, 5, 1024
+    rng = np.random.default_rng(0)
+    offsets = np.arange(U + 1, dtype=np.int32) * I
+    flat = np.tile(np.arange(I, dtype=np.int32), U)
+    packed = fused.pack_history_device(offsets, flat, U, I)
+    tu, ti = fused.extend_tables(
+        jnp.zeros(I),
+        jnp.asarray(rng.normal(0, .1, (U, F)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, .1, (I, F)).astype(np.float32)),
+        fused.user_pad(U), fused.item_pad(I))
+    u = rng.integers(0, U, B).astype(np.int32)
+    i = rng.integers(0, I, B).astype(np.int32)
+    rec = jnp.asarray(fused.make_records(u, i, np.ones(B, np.float32), B, U, I))
+    ep = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128, donate=False)
+    _, _, ll = ep(tu, ti, packed, rec, 0.1, 0.01, jax.random.PRNGKey(0), 0)
+    assert float(ll) == 0.0
