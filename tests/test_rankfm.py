@@ -313,3 +313,43 @@ def test_training_step_dispatch_by_catalog_size():
     assert nblk(8192) == 8       # window XLA regime
     assert nblk(33362) > 8       # candidate regime
     assert fused.user_pad(6040) > 6040  # guard row always present
+
+
+def test_fit_partial_unions_histories_and_drops_new_ids():
+    """warm-start semantics (`rankfm.py:151-174`): new (user, item) pairs with
+    unseen ids are silently dropped; known pairs union into the histories"""
+    rng = np.random.default_rng(11)
+    train = np.stack([rng.integers(0, 20, 300), rng.integers(0, 40, 300)], 1)
+    model = RankFM(factors=4, loss='warp', max_samples=3, batch_size=128)
+    model.fit(train, epochs=2)
+    before = {u: set(v.tolist()) for u, v in model.user_items.items()}
+
+    # second round: half known pairs, half with out-of-vocabulary ids
+    new_known = np.stack([rng.integers(0, 20, 50), rng.integers(0, 40, 50)], 1)
+    new_oov = np.stack([rng.integers(100, 120, 50), rng.integers(100, 140, 50)], 1)
+    mixed = np.concatenate([new_known, new_oov], 0)
+    model.fit_partial(mixed, epochs=1)
+
+    assert len(model.interactions) == len(np.unique(new_known, axis=0)) or \
+        len(model.interactions) <= 50  # only known pairs survive
+    after = {u: set(v.tolist()) for u, v in model.user_items.items()}
+    for u, items in before.items():
+        assert items.issubset(after.get(u, set())), "history union lost items"
+    # id maps frozen: no new users/items appeared
+    assert len(model.user_id) == 20 and len(model.item_id) == 40
+
+
+def test_seeded_fits_are_deterministic():
+    """same seed + same init -> identical weights (threefry streams + fixed
+    shuffle/negative draws; the reference is only partially seeded)"""
+    rng = np.random.default_rng(12)
+    train = np.stack([rng.integers(0, 30, 500), rng.integers(0, 50, 500)], 1)
+    outs = []
+    for _ in range(2):
+        np.random.seed(77)   # weight init uses the global numpy RNG
+        m = RankFM(factors=4, loss='warp', max_samples=4, batch_size=256,
+                   seed=123)
+        m.fit(train, epochs=3)
+        outs.append((m.v_u.copy(), m.v_i.copy(), m.w_i.copy()))
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
