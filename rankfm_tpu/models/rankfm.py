@@ -35,7 +35,10 @@ from rankfm_tpu.utils.data import (
     validate_features,
 )
 
-_RECOMMEND_CHUNK = 4096
+def _recommend_chunk(num_items):
+    """User-chunk size for top-N retrieval: bounded so the [chunk, I] score
+    matrix stays ~1 GB even for million-item catalogs."""
+    return int(min(4096, max(256, 2**28 // max(num_items, 1))))
 
 # ONE fused device reduction for the per-fit finite guard (6 separate eager
 # sums would each pay a dispatch round trip on remote links)
@@ -710,10 +713,11 @@ class RankFM:
         if len(known_idx):
             bitmap = self._ensure_bitmap() if use_bitmap_filter else None
             chunks = []
-            for s in range(0, len(known_idx), _RECOMMEND_CHUNK):
-                batch = known_idx[s:s + _RECOMMEND_CHUNK]
+            chunk_sz = _recommend_chunk(len(self.item_idx))
+            for s in range(0, len(known_idx), chunk_sz):
+                batch = known_idx[s:s + chunk_sz]
                 bsz = len(batch)
-                pad = np.zeros(_RECOMMEND_CHUNK, dtype=np.int32)
+                pad = np.zeros(chunk_sz, dtype=np.int32)
                 pad[:bsz] = batch
                 if use_bitmap_filter:
                     top_items, _ = fn(

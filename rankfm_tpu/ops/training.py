@@ -50,7 +50,8 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 
-from rankfm_tpu.ops.negatives import sample_negatives, sample_negatives_bitmap
+from rankfm_tpu.ops.negatives import (
+    csr_member, sample_negatives, sample_negatives_bitmap)
 
 MARGIN = 1.0
 
@@ -90,12 +91,13 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
     # pre-rejection membership tests are [B, M] in-row gathers —
     # millisecond-class on TPU. With ``post_reject`` (single-device large
     # catalogs, member-hit rate h/I << 1%) we instead test ONLY the SELECTED
-    # negative post-hoc ([B]-element gather) and re-select once when it was
-    # a member: the reference's in-place redraw (`_rankfm.pyx:249-252`) at
-    # ~0.4% slot-pollution fidelity, without any [B, M] gather. Kept off for
-    # the mesh path: element gathers against a row-sharded bitmap would
+    # negative post-hoc ([B]-element bitmap lookup, or a CSR binary search
+    # when the catalog is too large for a bitmap) and re-select once when it
+    # was a member: the reference's in-place redraw (`_rankfm.pyx:249-252`)
+    # at ~0.4% slot-pollution fidelity, without any [B, M] gather. Kept off
+    # for the mesh path: element gathers against a row-sharded bitmap would
     # force per-step all-gathers.
-    post_reject = post_reject and sampler == "bitmap" and M > 1
+    post_reject = post_reject and M > 1
 
     def step(w, x_uf, x_if, hist, u, i, sw, valid, eta, alpha, beta, key):
         B = u.shape[0]
@@ -121,10 +123,17 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         x_uf_b = x_uf[u]                                      # [B, P]
         user_rep_b = v_u_b + jnp.dot(x_uf_b, w["v_uf"], preferred_element_type=jnp.float32)
 
-        item_rep = w["v_i"] + jnp.dot(x_if, w["v_if"], preferred_element_type=jnp.float32)
-        item_bias = w["w_i"] + jnp.dot(x_if, w["w_if"], preferred_element_type=jnp.float32)
-        u_mat = jnp.concatenate([user_rep_b, v_u_b], axis=-1)            # [B, 2F]
-        i_mat = jnp.concatenate([w["v_i"], item_rep - w["v_i"]], axis=-1)  # [I, 2F]
+        if x_uf_any or x_if_any:
+            item_rep = w["v_i"] + jnp.dot(x_if, w["v_if"], preferred_element_type=jnp.float32)
+            item_bias = w["w_i"] + jnp.dot(x_if, w["w_if"], preferred_element_type=jnp.float32)
+            u_mat = jnp.concatenate([user_rep_b, v_u_b], axis=-1)            # [B, 2F]
+            i_mat = jnp.concatenate([w["v_i"], item_rep - w["v_i"]], axis=-1)  # [I, 2F]
+        else:
+            # featureless: the FM is bias + v_u.v_i — skip the zero feature
+            # half (at web scale the [I, 2F] concat alone is GBs of traffic)
+            item_bias = w["w_i"]
+            u_mat = v_u_b
+            i_mat = w["v_i"]
         # bf16 MXU passes for the matmuls (f32 accumulate); SGD is robust
         # to bf16-grade scoring noise and the MXU runs 4x faster
         if B * num_items <= 2**28:
@@ -170,22 +179,24 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
 
         sel, sampled, j, pw, ok_sel = select(pairwise, cand_ok)
         if post_reject:
+            if sampler == "bitmap":
+                def member_of_j(jj):
+                    word = hist["bitmap"][u, (jj >> 5).astype(jnp.int32)]
+                    return ((word >> (jj & 31).astype(jnp.uint32))
+                            & jnp.uint32(1)).astype(bool)
+            else:
+                def member_of_j(jj):
+                    return csr_member(hist["flat"], hist["offsets"], u, jj)
             # membership of the selected negative only; mask a member slot
             # and re-select (second members are ~(h/I)^2-rare: drop the row)
-            bm = hist["bitmap"]
             for _ in range(2):
-                word = bm[u, (j >> 5).astype(jnp.int32)]
-                is_mem = ((word >> (j & 31).astype(jnp.uint32))
-                          & jnp.uint32(1)).astype(bool)
+                is_mem = member_of_j(j)
                 pairwise = jnp.where(
                     is_mem[:, None]
                     & (jnp.arange(M)[None, :] == sel[:, None]),
                     jnp.inf, pairwise)
                 sel, sampled, j, pw, ok_sel = select(pairwise, cand_ok)
-            word = bm[u, (j >> 5).astype(jnp.int32)]
-            is_mem = ((word >> (j & 31).astype(jnp.uint32))
-                      & jnp.uint32(1)).astype(bool)
-            ok_sel = ok_sel & ~is_mem
+            ok_sel = ok_sel & ~member_of_j(j)
         row_ok = (valid & ok_sel & jnp.isfinite(pw)).astype(jnp.float32)
 
         # multiplier = log((I-1) // sampled) / log(I)   (C int division)
@@ -338,10 +349,15 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
         v_u_b = w["v_u"][u]                                   # [B, F]
         x_uf_b = x_uf[u]                                      # [B, P]
         user_rep_b = v_u_b + jnp.dot(x_uf_b, w["v_uf"], preferred_element_type=jnp.float32)
-        item_rep = w["v_i"] + jnp.dot(x_if, w["v_if"], preferred_element_type=jnp.float32)
-        item_bias = w["w_i"] + jnp.dot(x_if, w["w_if"], preferred_element_type=jnp.float32)
-        u_mat = jnp.concatenate([user_rep_b, v_u_b], axis=-1)             # [B, 2F]
-        i_mat = jnp.concatenate([w["v_i"], item_rep - w["v_i"]], axis=-1)  # [I, 2F]
+        if x_uf_any or x_if_any:
+            item_rep = w["v_i"] + jnp.dot(x_if, w["v_if"], preferred_element_type=jnp.float32)
+            item_bias = w["w_i"] + jnp.dot(x_if, w["w_if"], preferred_element_type=jnp.float32)
+            u_mat = jnp.concatenate([user_rep_b, v_u_b], axis=-1)             # [B, 2F]
+            i_mat = jnp.concatenate([w["v_i"], item_rep - w["v_i"]], axis=-1)  # [I, 2F]
+        else:
+            item_bias = w["w_i"]
+            u_mat = v_u_b
+            i_mat = w["v_i"]
         i_pad_mat = jnp.pad(i_mat, ((0, I_pad - i_mat.shape[0]), (0, 0)))
         bias_pad = jnp.pad(item_bias, (0, I_pad - item_bias.shape[0]))
         i_win = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
@@ -358,8 +374,11 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
         v_i_pos = w["v_i"][i]                                 # [B, F]
         x_if_pos = x_if[i]                                    # [B, Q]
         feat_rep_pos = jnp.dot(x_if_pos, w["v_if"], preferred_element_type=jnp.float32)
-        i_rows = jnp.concatenate(
-            [v_i_pos, feat_rep_pos], axis=-1)                 # i_mat rows of i
+        if x_uf_any or x_if_any:
+            i_rows = jnp.concatenate(
+                [v_i_pos, feat_rep_pos], axis=-1)             # i_mat rows of i
+        else:
+            i_rows = v_i_pos
         ut_ui = jnp.sum(u_mat * i_rows, axis=-1) + item_bias[i]
         pw = ut_ui.reshape(G, Bg)[:, :, None] - scores_win    # [G, Bg, BLK]
 
@@ -401,7 +420,10 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
         v_i_j = w["v_i"][j]                                   # [B, F]
         x_if_j = x_if[j]                                      # [B, Q]
         feat_rep_j = jnp.dot(x_if_j, w["v_if"], preferred_element_type=jnp.float32)
-        j_rows = jnp.concatenate([v_i_j, feat_rep_j], axis=-1)
+        if x_uf_any or x_if_any:
+            j_rows = jnp.concatenate([v_i_j, feat_rep_j], axis=-1)
+        else:
+            j_rows = v_i_j
         ut_uj = jnp.sum(u_mat * j_rows, axis=-1) + item_bias[j]
         pw_sel = ut_ui - ut_uj
 

@@ -279,8 +279,10 @@ def test_window_train_step_moves_pair_apart():
         assert np.isfinite(float(ll))
 
 
-def test_candidate_step_post_reject_never_updates_members():
-    """post-hoc rejection: the selected negative is never a history member"""
+@pytest.mark.parametrize("sampler", ["bitmap", "bsearch"])
+def test_candidate_step_post_reject_never_updates_members(sampler):
+    """post-hoc rejection: the selected negative is never a history member
+    (bitmap lookup, or CSR binary search for bitmap-too-big catalogs)"""
     from rankfm_tpu.ops.negatives import build_bitmap_words
 
     rng = np.random.default_rng(8)
@@ -302,7 +304,7 @@ def test_candidate_step_post_reject_never_updates_members():
     hist = {"offsets": jnp.asarray(offsets), "flat": jnp.asarray(flat),
             "bitmap": bm}
 
-    step = make_train_step(I, M, False, False, sampler="bitmap",
+    step = make_train_step(I, M, False, False, sampler=sampler,
                            post_reject=True)
     B = 64
     u = jnp.asarray(rng.integers(0, U, B).astype(np.int32))
