@@ -493,15 +493,15 @@ def _make_bucketer(num_users, num_items, batch_size, chunk):
     guard_i = num_items if num_items < item_pad(num_items) else 0
     guard_rec = jnp.asarray([0, guard_i, 0, 0], jnp.int32)
 
-    def bucket(rec, key):
-        ub_ids = rec[:, 0] >> 10                                  # [B]
+    def bucket(cols, key):
+        r0, r1, r2, r3 = cols
+        ub_ids = r0 >> 10                                         # [B]
         bperm = jax.random.permutation(key, NBU)
         rank = jnp.argsort(bperm)                                 # block -> slot
         sort_key = rank[ub_ids]
         # sort with the record columns as payload (no post-sort row gather)
         _, r0, r1, r2, r3 = jax.lax.sort(
-            (sort_key, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]),
-            num_keys=1)
+            (sort_key, r0, r1, r2, r3), num_keys=1)
         rec_s = jnp.stack([r0, r1, r2, r3], axis=1)
         cnt = jnp.sum(sort_key[:, None] == jnp.arange(NBU)[None, :],
                       axis=0, dtype=jnp.int32)                    # per slot
@@ -513,11 +513,15 @@ def _make_bucketer(num_users, num_items, batch_size, chunk):
         cb = jnp.minimum(
             jnp.searchsorted(pad_end, chunk_start, side="right"), NBU - 1)
         ublk = bperm[cb].astype(jnp.int32)                        # [nT]
+        # per-chunk values expanded by STATIC repeat — no [B_pad]-element
+        # gathers (XLA lowers those to serial element loads)
         slot = jnp.arange(B_pad, dtype=jnp.int32)
-        sb = cb[slot // chunk]                                    # [B_pad]
-        intra = slot - pad_off[sb]
-        vslot = (intra >= 0) & (intra < cnt[sb])
-        src = starts[sb] + jnp.clip(intra, 0, jnp.maximum(cnt[sb] - 1, 0))
+        sb_off = jnp.repeat(pad_off[cb], chunk)                   # [B_pad]
+        sb_cnt = jnp.repeat(cnt[cb], chunk)
+        sb_start = jnp.repeat(starts[cb], chunk)
+        intra = slot - sb_off
+        vslot = (intra >= 0) & (intra < sb_cnt)
+        src = sb_start + jnp.clip(intra, 0, jnp.maximum(sb_cnt - 1, 0))
         rec_pad = jnp.where(vslot[:, None], rec_s[src], guard_rec[None, :])
         return rec_pad, ublk
 
@@ -541,8 +545,12 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
         nb = n_pad // batch_size
         key = jax.random.fold_in(key, epoch)
         kperm, ksamp, kblk, kbu = jax.random.split(key, 4)
-        perm = jax.random.permutation(kperm, n_pad)
-        recp = jnp.take(rec, perm, axis=0).reshape(nb, batch_size, 4)
+        # epoch shuffle as ONE payload sort by random keys (a permutation
+        # gather costs ~4ns/row; the sort carries the columns along)
+        rnd = jax.random.bits(kperm, (n_pad,), jnp.uint32)
+        _, c0, c1, c2, c3 = jax.lax.sort(
+            (rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]), num_keys=1)
+        cols = [c.reshape(nb, batch_size) for c in (c0, c1, c2, c3)]
         seeds = jax.random.randint(ksamp, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
         blks = jax.random.randint(kblk, (nb,), 0, NBLK, dtype=jnp.int32)
         bkeys = jax.random.split(kbu, nb)
@@ -554,11 +562,12 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
 
         def body(carry, xs):
             tu, ti = carry
-            rec_, seed_, blk_, bkey_ = xs
+            c0_, c1_, c2_, c3_, seed_, blk_, bkey_ = xs
             if bucket is not None:
-                rec_b, ublk = bucket(rec_, bkey_)
+                rec_b, ublk = bucket((c0_, c1_, c2_, c3_), bkey_)
             else:
-                rec_b, ublk = rec_, jnp.zeros((nT,), jnp.int32)
+                rec_b = jnp.stack([c0_, c1_, c2_, c3_], axis=1)
+                ublk = jnp.zeros((nT,), jnp.int32)
             # ONE window block per batch: slice its packed membership
             # columns for all users ([U_pad, LW]); the kernel gathers each
             # chunk's rows itself via the user one-hot matmul
@@ -572,7 +581,8 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
             return (tu, ti), ll
 
         (tab_u, tab_i), lls = jax.lax.scan(
-            body, (tab_u, tab_i), (recp, seeds, blks, bkeys))
+            body, (tab_u, tab_i),
+            (cols[0], cols[1], cols[2], cols[3], seeds, blks, bkeys))
         return tab_u, tab_i, jnp.sum(lls)
 
     return one_epoch
