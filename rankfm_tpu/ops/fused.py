@@ -6,21 +6,27 @@ which the user and item tables live in VMEM scratch for the whole batch, so
 every "gather"/"scatter-add" is a one-hot bf16 matmul on the MXU and random
 HBM access is eliminated.
 
-Design (v2 — windowed negative domain):
+Design (v2.5 — windowed negatives, user-bucketed chunks):
 
 * tables are ``[*, 128]`` with factors in cols ``0..F-1``, col ``F`` = item
   bias (item table) or the constant 1 (user table), so the FM utility is a
   single 128-lane dot (see `extend_tables`);
-* WARP negative sampling per 128-row chunk is restricted to ONE random
-  contiguous block of ``BLK`` items (the "window"), re-drawn per chunk.
-  Within the window the reference's sequential rejection loop
-  (`/root/reference/rankfm/_rankfm.pyx:244-270`) is reformulated exactly:
-  draw ``sampled ~ 1 + Geometric(p)`` with ``p = |violators| / |non-members|``
-  estimated on the window; if ``sampled <= max_samples`` pick a UNIFORM
-  window violator, else the hardest (min-pairwise) non-violating non-member.
-  The window turns every O(I) selection pass into O(BLK) — the same
-  statistical move the reference makes by only ever LOOKING at
+* WARP negative sampling is restricted to ONE random contiguous block of
+  ``BLK`` items (the "window") per batch. Within the window the reference's
+  sequential rejection loop (`/root/reference/rankfm/_rankfm.pyx:244-270`)
+  is reformulated exactly: draw ``sampled ~ 1 + Geometric(p)`` with
+  ``p = |violators| / |non-members|`` estimated on the window; if
+  ``sampled <= max_samples`` pick a UNIFORM window violator, else the
+  hardest member of a Bernoulli subset emulating "hardest of max_samples
+  uniform draws". The window turns every O(I) selection pass into O(BLK) —
+  the same statistical move the reference makes by only ever LOOKING at
   ``max_samples`` random candidates instead of the full catalog;
+* each batch is re-laid-out so every chunk's rows share ONE 1024-user block
+  (`_make_bucketer`: payload sort + arithmetic slot maps, no scatters or
+  element gathers): the user one-hot contracts over 1024 rows instead of
+  U_pad, the user-table update touches only that block's slice, and the
+  chunk's window-membership words are gathered in-kernel through the same
+  one-hot as two exact 8-bit bf16 planes;
 * for BPR (``max_samples == 1``) the violator machinery is skipped entirely
   and ``j`` is a uniform non-member of the window — exactly the reference's
   single uniform draw (`rankfm.py:294-297`);

@@ -1,28 +1,36 @@
 """Batched pairwise BPR/WARP training step — TPU-native replacement for the
 reference's per-sample Cython SGD loop (`/root/reference/rankfm/_rankfm.pyx:122-342`).
 
-Design (vs the reference's sequential semantics):
+Two step flavors, both with zero data-dependent control flow (the reference
+draws negatives sequentially with a margin early-stop, `_rankfm.pyx:244-270`):
 
-* **WARP reformulated with zero data-dependent control flow.** The reference
-  draws up to ``max_samples`` negatives sequentially, tracks the
-  minimum-pairwise-utility ("hardest") negative, and stops at the first draw
-  whose pairwise utility violates ``MARGIN = 1.0`` (`_rankfm.pyx:244-270`).
-  Because every pre-stop draw has utility >= MARGIN, the first violator *is*
-  the running min — so the sequential loop is exactly: take the first
-  margin-violating candidate if any (its 1-based position is ``sampled``),
-  else the argmin over all ``max_samples``. We draw the full fixed-width
-  candidate matrix up front and recover ``(j, sampled)`` with a masked
-  argmax/argmin. BPR is WARP with ``max_samples = 1`` (`rankfm.py:294-297`).
+* **Window step** (`make_window_train_step`, the default through 8 window
+  blocks) — the XLA twin of the fused Pallas kernel: negatives come from G
+  random contiguous item blocks per batch, scored by batched MXU matmuls;
+  the draw count is sampled in closed form (1 + Geometric of the window's
+  violator rate), a uniform window violator is picked by masked argmax, and
+  the no-violation fallback takes the hardest member of a Bernoulli subset
+  that emulates "hardest of max_samples uniform draws" exactly.
+
+* **Candidate step** (`make_train_step`, huge catalogs and the mesh path) —
+  the reference's own shape: a fixed-width [B, max_samples] candidate
+  matrix; because every pre-stop draw has pairwise >= MARGIN, the first
+  violator IS the running min, so ``(j, sampled)`` falls out of a masked
+  argmax/argmin. Membership rejection is pre-draw (bitmap/bsearch samplers)
+  or post-hoc on the selected negative only (`post_reject`). BPR is WARP
+  with ``max_samples = 1`` (`rankfm.py:294-297`).
 
 * **Rank multiplier** matches the reference including its C integer division:
   ``multiplier = log((I-1) // sampled) / log(I)`` (`_rankfm.pyx:269`,
   compiled with ``cdivision=True``).
 
 * **Gradients are hand-written** (the model is 5 einsums) and accumulated
-  across the minibatch with scatter-adds, exactly mirroring the per-weight
-  update expressions at `_rankfm.pyx:272-326` — including the detail that
-  feature-factor rows are only touched when the corresponding feature value
-  (or positive/negative feature *difference*) is nonzero.
+  across the minibatch — through the Pallas table-update op
+  (`ops/scatter.py`) on TPU, or ``.at[].add`` scatter-adds elsewhere —
+  exactly mirroring the per-weight update expressions at
+  `_rankfm.pyx:272-326`, including the detail that feature-factor rows are
+  only touched when the corresponding feature value (or positive/negative
+  feature *difference*) is nonzero.
 
 * **Per-touch L2 decay with geometric correction.** The reference applies
   ``w -= eta * 2 * reg * w`` once per *touch*, interleaved with gradient
