@@ -544,10 +544,12 @@ class RankFM:
             chunk = min(512, bs)
             w = self._weights
             tab_u, tab_i = fused_mod.extend_tables(
-                w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad)
+                w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad,
+                fused_mod.TABLE_BF16)
             rec_dev = jnp.asarray(fused_mod.make_records(u, i, sw, n, U, num_items))
             epoch_fn = fused_mod.make_fused_epoch_fn(
-                U, num_items, F, max_samples, bs, chunk=chunk)
+                U, num_items, F, max_samples, bs, chunk=chunk,
+                table_bf16=fused_mod.TABLE_BF16)
             for epoch in range(epochs):
                 t0 = _time.time()
                 tab_u, tab_i, ll = epoch_fn(

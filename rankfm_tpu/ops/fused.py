@@ -56,6 +56,11 @@ LANES = 128
 BITS_PER_LANE = 16
 MARGIN = 1.0
 MAX_BLK = 1024
+# Optional: store the VMEM tables in bf16 with stochastic-rounded updates.
+# Halves table VMEM (useful headroom for user-heavy configs) at identical
+# measured throughput and quality on ML-1M shapes; kept off by default so
+# the weight masters stay exact f32.
+TABLE_BF16 = False
 
 
 def _round_up(x, m):
@@ -181,8 +186,8 @@ def pack_history_device(offsets, flat_items, num_users, num_items):
                          num_users, blk)
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def extend_tables(w_i, v_u, v_i, u_pad, i_pad):
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def extend_tables(w_i, v_u, v_i, u_pad, i_pad, table_bf16=False):
     """[U,F]/[I,F]/[I] -> [U_pad,128] (col F = 1) and [I_pad,128] (col F = w_i)."""
     F = v_u.shape[1]
     U, I = v_u.shape[0], v_i.shape[0]
@@ -192,13 +197,15 @@ def extend_tables(w_i, v_u, v_i, u_pad, i_pad):
     ti = jnp.zeros((i_pad, LANES), jnp.float32)
     ti = ti.at[:I, :F].set(v_i)
     ti = ti.at[:I, F].set(w_i)
+    if table_bf16:
+        return tu.astype(jnp.bfloat16), ti.astype(jnp.bfloat16)
     return tu, ti
 
 
 def extract_tables(tab_u, tab_i, num_users, num_items, factors):
-    v_u = tab_u[:num_users, :factors]
-    v_i = tab_i[:num_items, :factors]
-    w_i = tab_i[:num_items, factors]
+    v_u = tab_u[:num_users, :factors].astype(jnp.float32)
+    v_i = tab_i[:num_items, :factors].astype(jnp.float32)
+    w_i = tab_i[:num_items, factors].astype(jnp.float32)
     return w_i, v_u, v_i
 
 
@@ -228,7 +235,7 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
             seed_ref, eta_ref, dreg_ref,
             vu_out, vi_out, ll_out,
             tab_u, tab_i, ll_acc, copy_sem,
-            *, U_pad, UB, I_pad, F, M, C, BLK, num_items):
+            *, U_pad, UB, I_pad, F, M, C, BLK, num_items, TBF16):
     LW = BLK // BITS_PER_LANE
     lg_lw = LW.bit_length() - 1
     t = pl.program_id(0)
@@ -256,8 +263,9 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     boff = blk_ref[0] * BLK                          # window start (per batch)
     ubase = ublk_ref[t] * UB                         # user block (per chunk)
 
-    tab_ib = tab_i[:].astype(jnp.bfloat16)           # [I_pad,128]
-    tw = tab_i[pl.ds(boff, BLK), :].astype(jnp.bfloat16)   # [BLK,128] window
+    tab_ib = tab_i[:] if TBF16 else tab_i[:].astype(jnp.bfloat16)
+    twr = tab_i[pl.ds(boff, BLK), :]
+    tw = twr if TBF16 else twr.astype(jnp.bfloat16)        # [BLK,128] window
 
     # ---- one-hot gathers (MXU). The batch layout buckets every chunk's
     # rows into ONE user block (see `_make_bucketer`), so the user one-hot
@@ -266,7 +274,8 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, UB), 1) + ubase
     oh_uf = (u == cols_u).astype(jnp.float32) * valid             # [C,UB] f32
     oh_u = oh_uf.astype(jnp.bfloat16)
-    u_rows = jnp.dot(oh_u, tab_u[pl.ds(ubase, UB), :].astype(jnp.bfloat16),
+    tur = tab_u[pl.ds(ubase, UB), :]
+    u_rows = jnp.dot(oh_u, tur if TBF16 else tur.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)          # [C,128]
     # window membership words for the chunk's users, via the SAME one-hot —
     # replaces a [B_pad, LW] XLA row gather per batch. The MXU runs bf16
@@ -367,23 +376,32 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     count_j = jax.lax.dot_general(oh_jb, ones_c, (((0,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)  # [BLK,1]
 
+    def _store_tab(val):
+        if not TBF16:
+            return val
+        bits = pltpu.bitcast(pltpu.prng_random_bits(val.shape), jnp.uint32)
+        return pltpu.stochastic_round(val, bits, target_dtype=jnp.bfloat16)
+
     scat_u = jax.lax.dot_general(oh_u, g_u.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    tub = tab_u[pl.ds(ubase, UB), :]
-    tab_u[pl.ds(ubase, UB), :] = tub * (1.0 - dreg * count_u) + eta * scat_u
-    tab_u[pl.ds(ubase, UB), F:F + 1] = jnp.ones((UB, 1), jnp.float32)
+    tub = tab_u[pl.ds(ubase, UB), :].astype(jnp.float32)
+    tab_u[pl.ds(ubase, UB), :] = _store_tab(
+        tub * (1.0 - dreg * count_u) + eta * scat_u)
+    tab_u[pl.ds(ubase, UB), F:F + 1] = jnp.ones(
+        (UB, 1), jnp.bfloat16 if TBF16 else jnp.float32)
 
     scat_i = jax.lax.dot_general(oh_i, g_ip.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    tab_i[:] = tab_i[:] * (1.0 - dreg * count_i) + eta * scat_i
+    tab_i[:] = _store_tab(
+        tab_i[:].astype(jnp.float32) * (1.0 - dreg * count_i) + eta * scat_i)
 
     scat_j = jax.lax.dot_general(oh_jb, (-g_ip).astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)   # [BLK,128]
-    twf = tab_i[pl.ds(boff, BLK), :]
-    tab_i[pl.ds(boff, BLK), :] = (
+    twf = tab_i[pl.ds(boff, BLK), :].astype(jnp.float32)
+    tab_i[pl.ds(boff, BLK), :] = _store_tab(
         twf * (1.0 - dreg * count_j) + eta * scat_j
     )
 
@@ -400,7 +418,7 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
 
 @lru_cache(maxsize=16)
 def make_fused_batch_fn(num_users, num_items, factors, max_samples,
-                        batch_size, chunk=128):
+                        batch_size, chunk=128, table_bf16=False):
     """Build ``fn(tab_u, tab_i, rec, win_cols, blk, ublk, seed, eta, dreg)
     -> (tab_u, tab_i, ll)`` running one minibatch fully fused.
 
@@ -425,8 +443,10 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     assert batch_size % C == 0
     nT = batch_size // C
 
+    tdt = jnp.bfloat16 if table_bf16 else jnp.float32
     kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
-                   M=max_samples, C=C, BLK=BLK, num_items=num_items)
+                   M=max_samples, C=C, BLK=BLK, num_items=num_items,
+                   TBF16=table_bf16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -449,8 +469,8 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
             pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),   # ll
         ],
         scratch_shapes=[
-            pltpu.VMEM((U_pad, LANES), jnp.float32),
-            pltpu.VMEM((I_pad, LANES), jnp.float32),
+            pltpu.VMEM((U_pad, LANES), tdt),
+            pltpu.VMEM((I_pad, LANES), tdt),
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -460,8 +480,8 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
         kern,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((U_pad, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((I_pad, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((U_pad, LANES), tdt),
+            jax.ShapeDtypeStruct((I_pad, LANES), tdt),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
         input_output_aliases={4: 0, 5: 1},
@@ -596,7 +616,7 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
 
 @lru_cache(maxsize=16)
 def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
-                        chunk=128, donate=True):
+                        chunk=128, donate=True, table_bf16=False):
     """Whole-epoch driver around the fused kernel: device shuffle, packed-mask
     window gather per step (XLA), `lax.scan` over minibatches.
 
@@ -608,7 +628,8 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     """
     batch_fn = make_fused_batch_fn(
         num_users, num_items, factors, max_samples,
-        bucketed_size(num_users, batch_size, chunk), chunk)
+        bucketed_size(num_users, batch_size, chunk), chunk,
+        table_bf16=table_bf16)
     one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size, chunk)
 
     def epoch_fn(tab_u, tab_i, packed_hist, rec, eta, alpha, key, epoch):
