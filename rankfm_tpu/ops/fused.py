@@ -104,15 +104,15 @@ def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
                    vmem_table_budget=8 * 2**20):
     """Can the fused kernel run this configuration?
 
-    Besides the VMEM budget, the catalog is capped at 4 window blocks —
-    the kernel draws ONE negative window per batch, which is validated at
-    metric parity up to NBLK=4 (dense ML-1M-like data); beyond that the
-    XLA window/candidate steps take over (see `RankFM.fit_partial`).
+    Besides the VMEM budget, the catalog is capped at 8 window blocks —
+    the kernel rotates up to 4 negative windows per batch (validated at
+    metric parity through NBLK=8); beyond that the XLA window/candidate
+    steps take over (see `RankFM.fit_partial`).
     """
     if x_uf_any or x_if_any or factors > LANES - 2:
         return False
     i_pad = item_pad(num_items)
-    if i_pad // block_size(num_items) > 4:
+    if i_pad // block_size(num_items) > 8:
         return False
     u_pad = _round_up(num_users, 8)
     return (u_pad + i_pad) * LANES * 4 <= vmem_table_budget
@@ -234,8 +234,8 @@ def make_records(u, i, sw, n_real, num_users, num_items):
 def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
             seed_ref, eta_ref, dreg_ref,
             vu_out, vi_out, ll_out,
-            tab_u, tab_i, ll_acc, copy_sem,
-            *, U_pad, UB, I_pad, F, M, C, BLK, num_items, TBF16):
+            tab_u, tab_i, win_scratch, ll_acc, copy_sem,
+            *, U_pad, UB, I_pad, F, M, C, BLK, G, num_items, TBF16):
     LW = BLK // BITS_PER_LANE
     lg_lw = LW.bit_length() - 1
     t = pl.program_id(0)
@@ -260,8 +260,17 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     valid = pltpu.bitcast(rec_ref[:, 3:4], jnp.float32)  # [C,1] 0.0/1.0
     eta = eta_ref[0]
     dreg = dreg_ref[0]                               # eta * 2 * alpha
-    boff = blk_ref[0] * BLK                          # window start (per batch)
+    g = jax.lax.rem(t, G)                            # this chunk's window
+    boff = blk_ref[g] * BLK
     ubase = ublk_ref[t] * UB                         # user block (per chunk)
+    # the window's packed membership columns for this chunk's user block:
+    # one small sliced DMA from HBM (keeps G windows without G*LW lanes of
+    # VMEM residency)
+    wdma = pltpu.make_async_copy(
+        wincols_ref.at[pl.ds(ubase, UB), pl.ds(g * LANES, LANES)],
+        win_scratch, copy_sem.at[0])
+    wdma.start()
+    wdma.wait()
 
     tab_ib = tab_i[:] if TBF16 else tab_i[:].astype(jnp.bfloat16)
     twr = tab_i[pl.ds(boff, BLK), :]
@@ -281,7 +290,7 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     # replaces a [B_pad, LW] XLA row gather per batch. The MXU runs bf16
     # passes, so the 16-bit words go through as two EXACT 8-bit planes
     # (0xFFFF in one bf16 pass would round to 65536 and corrupt every bit)
-    winblk = wincols_ref[pl.ds(ubase, UB), :]                     # [UB,LW]
+    winblk = win_scratch[:, :LW]                                  # [UB,LW]
     mlo = jnp.dot(oh_u, (winblk & 0xFF).astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
     mhi = jnp.dot(oh_u, ((winblk >> 8) & 0xFF).astype(jnp.bfloat16),
@@ -418,7 +427,7 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
 
 @lru_cache(maxsize=16)
 def make_fused_batch_fn(num_users, num_items, factors, max_samples,
-                        batch_size, chunk=128, table_bf16=False):
+                        batch_size, chunk=128, table_bf16=False, windows=1):
     """Build ``fn(tab_u, tab_i, rec, win_cols, blk, ublk, seed, eta, dreg)
     -> (tab_u, tab_i, ll)`` running one minibatch fully fused.
 
@@ -445,16 +454,15 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
 
     tdt = jnp.bfloat16 if table_bf16 else jnp.float32
     kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
-                   M=max_samples, C=C, BLK=BLK, num_items=num_items,
-                   TBF16=table_bf16)
+                   M=max_samples, C=C, BLK=BLK, G=windows,
+                   num_items=num_items, TBF16=table_bf16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nT,),
         in_specs=[
             pl.BlockSpec((C, 4), lambda t: (t, 0), memory_space=pltpu.VMEM),   # rec
-            pl.BlockSpec((U_pad, LW), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),                             # win cols
+            pl.BlockSpec(memory_space=pltpu.ANY),                              # win cols
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # ublk
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vu_in
@@ -471,6 +479,7 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
         scratch_shapes=[
             pltpu.VMEM((U_pad, LANES), tdt),
             pltpu.VMEM((I_pad, LANES), tdt),
+            pltpu.VMEM((UB, LANES), jnp.int32),
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -554,7 +563,7 @@ def _make_bucketer(num_users, num_items, batch_size, chunk):
     return bucket
 
 
-def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
+def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk, windows=1):
     """Shared single-epoch logic: device shuffle + scan over minibatches."""
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
@@ -563,6 +572,7 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
     NBU = num_user_blocks(num_users)
     B_pad = bucketed_size(num_users, batch_size, chunk)
     nT = B_pad // chunk
+    G = windows
     bucket = (_make_bucketer(num_users, num_items, batch_size, chunk)
               if NBU > 1 else None)
 
@@ -578,7 +588,7 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
             (rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]), num_keys=1)
         cols = [c.reshape(nb, batch_size) for c in (c0, c1, c2, c3)]
         seeds = jax.random.randint(ksamp, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
-        blks = jax.random.randint(kblk, (nb,), 0, NBLK, dtype=jnp.int32)
+        blks = jax.random.randint(kblk, (nb, G), 0, NBLK, dtype=jnp.int32)
         bkeys = jax.random.split(kbu, nb)
         eta_arr = jnp.reshape(jnp.asarray(eta, jnp.float32), (1,))
         dreg_arr = eta_arr * (2.0 * jnp.asarray(alpha, jnp.float32))
@@ -594,14 +604,18 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
             else:
                 rec_b = jnp.stack([c0_, c1_, c2_, c3_], axis=1)
                 ublk = jnp.zeros((nT,), jnp.int32)
-            # ONE window block per batch: slice its packed membership
-            # columns for all users ([U_pad, LW]); the kernel gathers each
-            # chunk's rows itself via the user one-hot matmul
-            win_cols = jax.lax.dynamic_slice_in_dim(
-                packed_hist, blk_ * LW, LW, axis=1)              # [U, LW]
+            # G window blocks per batch (chunks round-robin): concat each
+            # window's packed membership columns ([U_pad, G*LW]); the kernel
+            # DMAs its chunk's user-block slice and gathers rows via the
+            # user one-hot matmul
+            win_cols = jnp.concatenate([
+                jnp.pad(jax.lax.dynamic_slice_in_dim(
+                    packed_hist, blk_[g] * LW, LW, axis=1),
+                    ((0, 0), (0, 128 - LW)))
+                for g in range(G)], axis=1)               # [U, G*128]
             win_cols = jnp.pad(win_cols, ((0, U_pad - num_u), (0, 0)))
             tu, ti, ll = batch_fn(tu, ti, rec_b, win_cols,
-                                  jnp.reshape(blk_, (1,)), ublk,
+                                  blk_, ublk,
                                   jnp.reshape(seed_, (1,)),
                                   eta_arr, dreg_arr)
             return (tu, ti), ll
@@ -626,11 +640,13 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     the caller passes the same base key every epoch (no per-epoch host-side
     PRNG dispatches).
     """
+    windows = min(4, item_pad(num_items) // block_size(num_items))
     batch_fn = make_fused_batch_fn(
         num_users, num_items, factors, max_samples,
         bucketed_size(num_users, batch_size, chunk), chunk,
-        table_bf16=table_bf16)
-    one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size, chunk)
+        table_bf16=table_bf16, windows=windows)
+    one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
+                            windows=windows)
 
     def epoch_fn(tab_u, tab_i, packed_hist, rec, eta, alpha, key, epoch):
         return one_epoch(tab_u, tab_i, packed_hist, rec,

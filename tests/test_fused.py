@@ -86,7 +86,8 @@ def test_fused_eligible():
     assert not fused.fused_eligible(6040, 3706, 20, True, False)   # features
     assert not fused.fused_eligible(6040, 3706, 127, False, False)  # F too big
     assert not fused.fused_eligible(10_000_000, 1_000_000, 64, False, False)
-    assert not fused.fused_eligible(1000, 8192, 20, False, False)  # NBLK > 4
+    assert fused.fused_eligible(1000, 8192, 20, False, False)      # NBLK = 8
+    assert not fused.fused_eligible(1000, 16384, 20, False, False)  # NBLK > 8
 
 
 def test_block_size_and_pad():
