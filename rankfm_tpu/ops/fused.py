@@ -640,7 +640,10 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     the caller passes the same base key every epoch (no per-epoch host-side
     PRNG dispatches).
     """
-    windows = min(4, item_pad(num_items) // block_size(num_items))
+    nblk = item_pad(num_items) // block_size(num_items)
+    # one window per batch is at metric parity through 4 blocks (dense);
+    # beyond that rotate 4 windows for negative diversity
+    windows = 1 if nblk <= 4 else min(4, nblk)
     batch_fn = make_fused_batch_fn(
         num_users, num_items, factors, max_samples,
         bucketed_size(num_users, batch_size, chunk), chunk,
