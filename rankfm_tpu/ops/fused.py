@@ -432,10 +432,11 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     -> (tab_u, tab_i, ll)`` running one minibatch fully fused.
 
     ``rec [B_pad,4] int32`` bucketed interaction records (`_make_bucketer`),
-    ``win_cols [U_pad, BLK/16] int32`` the window's packed membership
-    columns for ALL users (the kernel gathers per-chunk rows itself via the
+    ``win_cols [U_pad, G*128] int32`` the G windows' packed membership
+    columns for ALL users, each padded to a 128-lane block (HBM-resident;
+    the kernel DMAs its chunk's user-block slice and gathers rows via the
     user one-hot),
-    ``blk [1] int32`` the batch's window block id,
+    ``blk [G] int32`` the batch's window block ids (chunks round-robin),
     ``ublk [nT] int32`` each chunk's user block id.
 
     ``batch_size`` here is the BUCKETED row count (`bucketed_size`).
@@ -462,7 +463,7 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
         grid=(nT,),
         in_specs=[
             pl.BlockSpec((C, 4), lambda t: (t, 0), memory_space=pltpu.VMEM),   # rec
-            pl.BlockSpec(memory_space=pltpu.ANY),                              # win cols
+            pl.BlockSpec(memory_space=pltpu.HBM),                              # win cols
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # ublk
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vu_in
