@@ -480,11 +480,13 @@ class RankFM:
 
         from rankfm_tpu.ops import fused as fused_mod
         U, F = len(self.user_idx), self.factors
+        fused_mode = fused_mod.fused_table_mode(U, num_items, F,
+                                                x_uf_any, x_if_any)
         fused_possible = (
             self.use_fused in (True, 'auto')
             and self.mesh is None
             and _on_tpu()
-            and fused_mod.fused_eligible(U, num_items, F, x_uf_any, x_if_any)
+            and fused_mode is not None
         )
         bs = self._auto_batch_size(n, fused=fused_possible)
         n_pad = max(1, math.ceil(n / bs)) * bs
@@ -543,13 +545,13 @@ class RankFM:
                     self._ui_offsets, self._ui_items, U, num_items)
             chunk = min(512, bs)
             w = self._weights
+            table_bf16 = fused_mod.TABLE_BF16 or fused_mode == 'bf16'
             tab_u, tab_i = fused_mod.extend_tables(
-                w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad,
-                fused_mod.TABLE_BF16)
+                w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad, table_bf16)
             rec_dev = jnp.asarray(fused_mod.make_records(u, i, sw, n, U, num_items))
             epoch_fn = fused_mod.make_fused_epoch_fn(
                 U, num_items, F, max_samples, bs, chunk=chunk,
-                table_bf16=fused_mod.TABLE_BF16)
+                table_bf16=table_bf16)
             for epoch in range(epochs):
                 t0 = _time.time()
                 tab_u, tab_i, ll = epoch_fn(

@@ -100,22 +100,36 @@ def item_pad(num_items):
     return _round_up(max(num_items, 1), block_size(num_items))
 
 
-def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
-                   vmem_table_budget=8 * 2**20):
-    """Can the fused kernel run this configuration?
+def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
+                     vmem_table_budget=8 * 2**20):
+    """How the fused kernel can run this configuration.
 
-    Besides the VMEM budget, the catalog is capped at 8 window blocks —
-    the kernel rotates up to 4 negative windows per batch (validated at
-    metric parity through NBLK=8); beyond that the XLA window/candidate
-    steps take over (see `RankFM.fit_partial`).
+    Returns ``'f32'`` (tables fit in f32), ``'bf16'`` (only the
+    stochastically-rounded bf16 tables fit — validated at identical
+    throughput/quality), or ``None`` (ineligible). Besides the VMEM budget,
+    the catalog is capped at 8 window blocks — the kernel rotates up to 4
+    negative windows per batch (validated at metric parity through NBLK=8);
+    beyond that the XLA window/candidate steps take over
+    (see `RankFM.fit_partial`).
     """
     if x_uf_any or x_if_any or factors > LANES - 2:
-        return False
+        return None
     i_pad = item_pad(num_items)
     if i_pad // block_size(num_items) > 8:
-        return False
-    u_pad = _round_up(num_users, 8)
-    return (u_pad + i_pad) * LANES * 4 <= vmem_table_budget
+        return None
+    rows = _round_up(num_users, 8) + i_pad
+    if rows * LANES * 4 <= vmem_table_budget:
+        return 'f32'
+    if rows * LANES * 2 <= vmem_table_budget:
+        return 'bf16'
+    return None
+
+
+def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
+                   vmem_table_budget=8 * 2**20):
+    """Can the fused kernel run this configuration (either table dtype)?"""
+    return fused_table_mode(num_users, num_items, factors, x_uf_any,
+                            x_if_any, vmem_table_budget) is not None
 
 
 def _pack_coords(items, blk):
