@@ -1,0 +1,39 @@
+"""Adversarial membership check: full-history users -> ll must be exactly 0."""
+import numpy as np, sys
+import jax, jax.numpy as jnp
+import os, sys; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from rankfm_tpu.ops import fused as F
+
+U, I, Fc, M = 1500, 128, 8, 5   # U > 1024 -> NBU=2 (bucketed path)
+B = 1024
+rng = np.random.default_rng(0)
+# EVERY user has ALL items in history
+offsets = np.arange(U + 1, dtype=np.int32) * I
+flat = np.tile(np.arange(I, dtype=np.int32), U)
+packed = F.pack_history_device(offsets, flat, U, I)
+tu, ti = F.extend_tables(jnp.zeros(I),
+                         jnp.asarray(rng.normal(0, .1, (U, Fc)).astype(np.float32)),
+                         jnp.asarray(rng.normal(0, .1, (I, Fc)).astype(np.float32)),
+                         F.user_pad(U), F.item_pad(I))
+u = rng.integers(0, U, B).astype(np.int32)
+i = rng.integers(0, I, B).astype(np.int32)
+sw = np.ones(B, np.float32)
+rec = jnp.asarray(F.make_records(u, i, sw, B, U, I))
+ep = F.make_fused_epoch_fn(U, I, Fc, M, B, chunk=128, donate=False)
+tu2, ti2, ll = ep(tu, ti, packed, rec, 0.1, 0.01, jax.random.PRNGKey(0), 0)
+print("ll =", float(ll), "(must be exactly 0.0)")
+d_u = float(jnp.abs(tu2[:U, :Fc] - tu[:U, :Fc]).max())
+print("max |d v_u| =", d_u)
+assert float(ll) == 0.0, "MEMBERSHIP BROKEN (ll)"
+# now give user 0 one nonmember: remove item 5 from its history
+offsets2 = offsets.copy(); 
+sets = [np.delete(np.arange(I), 5) if k == 0 else np.arange(I) for k in range(U)]
+offsets2 = np.zeros(U + 1, np.int32); offsets2[1:] = np.cumsum([len(s) for s in sets])
+flat2 = np.concatenate(sets).astype(np.int32)
+packed2 = F.pack_history_device(offsets2, flat2, U, I)
+u3 = np.zeros(B, np.int32)   # all rows user 0
+rec3 = jnp.asarray(F.make_records(u3, i, sw, B, U, I))
+tu3, ti3, ll3 = ep(tu, ti, packed2, rec3, 0.1, 0.01, jax.random.PRNGKey(1), 0)
+print("single-nonmember ll =", float(ll3), "(must be < 0)")
+assert float(ll3) < 0
+print("MEMBERSHIP OK")
