@@ -164,9 +164,13 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
             u_ext16 = jnp.concatenate(
                 [u_mat, jnp.ones((B, 1), u_mat.dtype)], axis=-1
             ).astype(jnp.bfloat16)
-            cand_rows = i_ext16[cands.reshape(-1)].reshape(B, M, -1)  # [B,M,2F+1]
-            ut_uj = jnp.einsum("bf,bmf->bm", u_ext16, cand_rows,
-                               preferred_element_type=jnp.float32)
+            # stay 2-D throughout: a [B, M, F+1] view forces a lane relayout
+            # (trailing dim < 128) that costs more than the gather itself
+            cand_flat = i_ext16[cands.reshape(-1)]                 # [B*M, 2F+1]
+            u_rep = jnp.repeat(u_ext16, M, axis=0)                 # [B*M, 2F+1]
+            ut_uj = jnp.sum(
+                (cand_flat * u_rep).astype(jnp.float32), axis=-1
+            ).reshape(B, M)
             pos_rows = i_mat[i]                                           # [B, 2F]
             ut_ui = (
                 jnp.sum(u_mat * pos_rows, axis=-1) + item_bias[i]
