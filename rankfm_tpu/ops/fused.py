@@ -537,7 +537,6 @@ def _make_bucketer(num_users, num_items, batch_size, chunk):
     UB = user_block(num_users)
     NBU = num_user_blocks(num_users)
     assert UB == UBLK and (UB & (UB - 1)) == 0
-    B = batch_size
     B_pad = bucketed_size(num_users, batch_size, chunk)
     nT = B_pad // chunk
     guard_i = num_items if num_items < item_pad(num_items) else 0

@@ -119,7 +119,7 @@ def _make_dense_call(n_pad, F, B2, tile):
 def _make_sorted_call(n_pad, F, B2, tile, tb):
     nT = n_pad // tile
     kern = partial(_kernel_sorted, TILE=tile, F=F, B2=B2, TB=tb)
-    smem, table_specs = _specs(tile, F, extra_smem=1)
+    _, table_specs = _specs(tile, F)
     return pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -109,7 +109,6 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
 
     def step(w, x_uf, x_if, hist, u, i, sw, valid, eta, alpha, beta, key):
         B = u.shape[0]
-        F = w["v_u"].shape[1]
 
         if post_reject:
             cands = jax.random.randint(key, (B, M), 0, num_items,
