@@ -59,10 +59,10 @@ def main():
     model.fit(inter, epochs=1)
     warm = time.time() - t0
 
-    # steady state: time EPOCHS epochs through the public API; best of two
+    # steady state: time EPOCHS epochs through the public API; best of three
     # runs (the shared-TPU link shows >10% run-to-run noise)
     elapsed = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         model.fit_partial(inter, epochs=EPOCHS)
         elapsed = min(elapsed, time.time() - t0)
