@@ -150,3 +150,38 @@ def test_full_history_users_get_no_updates():
     ep = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128, donate=False)
     _, _, ll = ep(tu, ti, packed, rec, 0.1, 0.01, jax.random.PRNGKey(0), 0)
     assert float(ll) == 0.0
+
+
+def test_bucketer_layout_invariants():
+    """every chunk's rows share one user block; every input row appears
+    exactly once; pad slots are invalid guard records"""
+    import jax
+
+    U, I = 3000, 256            # 3 user blocks (UB=1024)
+    B, C = 2048, 128
+    NBU = fused.num_user_blocks(U)
+    assert NBU == 3
+    bucket = fused._make_bucketer(U, I, B, C)
+    rng = np.random.default_rng(0)
+    u = rng.integers(0, U, B).astype(np.int32)
+    i = rng.integers(0, I, B).astype(np.int32)
+    rec = fused.make_records(u, i, np.ones(B, np.float32), B, U, I)
+    cols = tuple(jnp.asarray(rec[:, k]) for k in range(4))
+    rec_pad, ublk = jax.jit(bucket)(cols, jax.random.PRNGKey(3))
+    rec_pad, ublk = np.asarray(rec_pad), np.asarray(ublk)
+    B_pad = fused.bucketed_size(U, B, C)
+    assert rec_pad.shape == (B_pad, 4) and ublk.shape == (B_pad // C,)
+
+    valid = rec_pad[:, 3].view(np.float32) == 1.0
+    # chunk purity: valid rows' user block == the chunk's assigned block
+    for t in range(B_pad // C):
+        seg = rec_pad[t * C:(t + 1) * C]
+        segv = seg[valid[t * C:(t + 1) * C]]
+        if len(segv):
+            assert ((segv[:, 0] >> 10) == ublk[t]).all(), t
+    # conservation: the multiset of valid rows == the input rows
+    got = rec_pad[valid][:, :2]
+    want = rec[:, :2]
+    got_sorted = got[np.lexsort((got[:, 1], got[:, 0]))]
+    want_sorted = want[np.lexsort((want[:, 1], want[:, 0]))]
+    np.testing.assert_array_equal(got_sorted, want_sorted)
