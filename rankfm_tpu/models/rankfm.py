@@ -82,7 +82,9 @@ class RankFM:
 
         TPU-specific (keyword-only) extras beyond the reference API:
 
-        :param batch_size: training minibatch size (None = auto, power of two <= 8192)
+        :param batch_size: training minibatch size (None = auto: up to 32k
+            on the fused path, whose synchronous unit is its 512-row chunk;
+            stability-capped power of two <= 8192 on the XLA steps)
         :param seed: base PRNG seed for negative sampling / epoch shuffling
             (the reference hard-codes MT19937 seed 1492, `_rankfm.pyx:182`)
         :param sample_rounds: rejection re-draw rounds for negative sampling
