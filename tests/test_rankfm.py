@@ -353,3 +353,35 @@ def test_seeded_fits_are_deterministic():
         outs.append((m.v_u.copy(), m.v_i.copy(), m.w_i.copy()))
     for a, b in zip(outs[0], outs[1]):
         np.testing.assert_array_equal(a, b)
+
+
+def test_evaluation_metrics_match_hand_computed_oracle():
+    """pin hit_rate/MRR/DCG/precision/recall definitions on a crafted case
+    (`/root/reference/rankfm/evaluation.py:32,59-60,87-88,115,142`)"""
+    from rankfm_tpu import evaluation
+
+    rng = np.random.default_rng(99)
+    train = np.stack([rng.integers(0, 6, 120), rng.integers(0, 12, 120)], 1)
+    model = RankFM(factors=4, batch_size=64)
+    model.fit(train, epochs=2)
+
+    test = np.array([[0, 1], [0, 2], [1, 3], [2, 4], [2, 5], [2, 6]])
+    k = 4
+    recs = model.recommend([0, 1, 2], n_items=k, cold_start="drop")
+    tui = {0: {1, 2}, 1: {3}, 2: {4, 5, 6}}
+
+    hrs, rrs, dcgs, precs, recalls = [], [], [], [], []
+    for u in (0, 1, 2):
+        row = list(recs.loc[u].values)
+        hits = [it in tui[u] for it in row]
+        hrs.append(float(any(hits)))
+        rrs.append(1.0 / (hits.index(True) + 1) if any(hits) else 0.0)
+        dcgs.append(sum(1.0 / np.log2(r + 2) for r, h in enumerate(hits) if h))
+        precs.append(sum(hits) / k)
+        recalls.append(sum(hits) / len(tui[u]))
+
+    assert evaluation.hit_rate(model, test, k=k) == pytest.approx(np.mean(hrs))
+    assert evaluation.reciprocal_rank(model, test, k=k) == pytest.approx(np.mean(rrs))
+    assert evaluation.discounted_cumulative_gain(model, test, k=k) == pytest.approx(np.mean(dcgs))
+    assert evaluation.precision(model, test, k=k) == pytest.approx(np.mean(precs))
+    assert evaluation.recall(model, test, k=k) == pytest.approx(np.mean(recalls))
