@@ -14,9 +14,34 @@ Public API mirrors the reference (`/root/reference/rankfm/rankfm.py:11`,
     from rankfm_tpu import evaluation
 """
 
-from rankfm_tpu.models.rankfm import RankFM
-from rankfm_tpu import evaluation
+import os as _os
 
-__version__ = "0.1.0"
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: the fused ML-1M fit compiles in
+    ~80 s cold; with the cache warm a fresh process skips straight to
+    execution. Opt out with RANKFM_TPU_NO_CACHE=1 or point elsewhere with
+    RANKFM_TPU_CACHE_DIR."""
+    if _os.environ.get("RANKFM_TPU_NO_CACHE"):
+        return
+    cache_dir = _os.environ.get(
+        "RANKFM_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "rankfm_tpu_xla"))
+    try:
+        import jax
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax or read-only FS: run uncached
+
+
+_enable_compilation_cache()
+
+from rankfm_tpu.models.rankfm import RankFM  # noqa: E402
+from rankfm_tpu import evaluation  # noqa: E402
+
+__version__ = "0.2.0"
 
 __all__ = ["RankFM", "evaluation", "__version__"]

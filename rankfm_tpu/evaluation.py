@@ -3,9 +3,11 @@ definitions as the reference (`/root/reference/rankfm/evaluation.py:9-175`).
 
 All metrics share one shape: build a test user -> item-set mapping, generate
 top-k recommendations with ``cold_start='drop'``, then aggregate per-user.
-Unlike the reference (per-user Python set intersections), the aggregation here
-is a vectorized membership matrix over the recommendation DataFrame, so
-evaluating all five metrics costs one `recommend` call + O(users * k) numpy.
+Unlike the reference (per-user Python set intersections), the aggregation is
+a vectorized membership matrix, so each metric is one `recommend` call +
+O(users * k) numpy. Each standalone function retrieves independently (the
+reference contract); use :func:`compute` to evaluate many metrics off a
+SINGLE retrieval pass — ~5x cheaper for the usual 5-metric report.
 """
 
 from __future__ import annotations
@@ -37,42 +39,86 @@ def _recs_and_hits(model, test_interactions, k, filter_previous):
     return test_recs, comm_users, hits, test_user_items
 
 
+def _agg_hit_rate(comm, hits, tui):
+    return float(np.mean(hits.any(axis=1)))
+
+
+def _agg_reciprocal_rank(comm, hits, tui):
+    any_hit = hits.any(axis=1)
+    first = np.argmax(hits, axis=1)
+    return float(np.mean(np.where(any_hit, 1.0 / (first + 1), 0.0)))
+
+
+def _agg_dcg(comm, hits, tui):
+    gains = hits / np.log2(np.arange(hits.shape[1]) + 2)[None, :]
+    return float(np.mean(gains.sum(axis=1)))
+
+
+def _agg_precision(comm, hits, tui):
+    return float(np.mean(hits.sum(axis=1) / hits.shape[1]))
+
+
+def _agg_recall(comm, hits, tui):
+    denom = np.array([len(tui[u]) for u in comm], dtype=np.float64)
+    return float(np.mean(hits.sum(axis=1) / denom))
+
+
+_AGGREGATORS = {
+    "hit_rate": _agg_hit_rate,
+    "reciprocal_rank": _agg_reciprocal_rank,
+    "discounted_cumulative_gain": _agg_dcg,
+    "precision": _agg_precision,
+    "recall": _agg_recall,
+}
+
+
+def compute(model, test_interactions, metrics=None, k=10, filter_previous=False):
+    """Evaluate several ranking metrics off ONE shared retrieval pass.
+
+    ``metrics`` is an iterable of metric names (default: all five); returns a
+    ``{name: value}`` dict. Identical definitions to the standalone functions
+    (and the reference's `evaluation.py:9-143`), but the expensive
+    `model.recommend` call runs once instead of once per metric.
+    """
+    if metrics is None:
+        metrics = tuple(_AGGREGATORS)
+    unknown = [m for m in metrics if m not in _AGGREGATORS]
+    assert not unknown, f"unknown metrics {unknown}; choose from {sorted(_AGGREGATORS)}"
+    _, comm, hits, tui = _recs_and_hits(model, test_interactions, k, filter_previous)
+    return {m: _AGGREGATORS[m](comm, hits, tui) for m in metrics}
+
+
 def hit_rate(model, test_interactions, k=10, filter_previous=False):
     """proportion of test users with at least one relevant recommended item
     (`evaluation.py:9-33`)"""
-    _, _, hits, _ = _recs_and_hits(model, test_interactions, k, filter_previous)
-    return float(np.mean(hits.any(axis=1)))
+    return compute(model, test_interactions, ("hit_rate",), k,
+                   filter_previous)["hit_rate"]
 
 
 def reciprocal_rank(model, test_interactions, k=10, filter_previous=False):
     """mean inverse rank of the first relevant recommended item
     (`evaluation.py:36-61`)"""
-    _, _, hits, _ = _recs_and_hits(model, test_interactions, k, filter_previous)
-    any_hit = hits.any(axis=1)
-    first = np.argmax(hits, axis=1)
-    rr = np.where(any_hit, 1.0 / (first + 1), 0.0)
-    return float(np.mean(rr))
+    return compute(model, test_interactions, ("reciprocal_rank",), k,
+                   filter_previous)["reciprocal_rank"]
 
 
 def discounted_cumulative_gain(model, test_interactions, k=10, filter_previous=False):
     """mean sum of 1/log2(rank+2) over relevant recommended items
     (`evaluation.py:64-89`)"""
-    _, _, hits, _ = _recs_and_hits(model, test_interactions, k, filter_previous)
-    gains = hits / np.log2(np.arange(hits.shape[1]) + 2)[None, :]
-    return float(np.mean(gains.sum(axis=1)))
+    return compute(model, test_interactions, ("discounted_cumulative_gain",),
+                   k, filter_previous)["discounted_cumulative_gain"]
 
 
 def precision(model, test_interactions, k=10, filter_previous=False):
     """mean |relevant ∩ recommended| / k (`evaluation.py:92-116`)"""
-    _, _, hits, _ = _recs_and_hits(model, test_interactions, k, filter_previous)
-    return float(np.mean(hits.sum(axis=1) / hits.shape[1]))
+    return compute(model, test_interactions, ("precision",), k,
+                   filter_previous)["precision"]
 
 
 def recall(model, test_interactions, k=10, filter_previous=False):
     """mean |relevant ∩ recommended| / |relevant| (`evaluation.py:119-143`)"""
-    _, comm, hits, tui = _recs_and_hits(model, test_interactions, k, filter_previous)
-    denom = np.array([len(tui[u]) for u in comm], dtype=np.float64)
-    return float(np.mean(hits.sum(axis=1) / denom))
+    return compute(model, test_interactions, ("recall",), k,
+                   filter_previous)["recall"]
 
 
 def diversity(model, test_interactions, k=10, filter_previous=False):

@@ -359,23 +359,31 @@ class RankFM:
     def _init_weights(self, user_features=None, item_features=None):
         """initialize model weights (`rankfm.py:214-244`): biases zero, factors
         ~ N(0, sigma), feature factors ~ N(0, (alpha/beta)*sigma) when features
-        are supplied else zero"""
+        are supplied else zero.
+
+        Documented divergence from the reference: init draws come from a
+        generator seeded with ``self.seed`` (the reference uses the GLOBAL
+        numpy RNG, `rankfm.py:227-228`, so its fits are only reproducible if
+        the caller seeds numpy themselves). Two fits of the same config +
+        data here are bitwise-identical end to end.
+        """
 
         U, I, F = len(self.user_idx), len(self.item_idx), self.factors
         P, Q = self.x_uf.shape[1], self.x_if.shape[1]
+        rng = np.random.default_rng(self.seed)
 
         w_i = np.zeros(I, dtype=np.float32)
         w_if = np.zeros(Q, dtype=np.float32)
-        v_u = np.random.normal(0, self.sigma, (U, F)).astype(np.float32)
-        v_i = np.random.normal(0, self.sigma, (I, F)).astype(np.float32)
+        v_u = rng.normal(0, self.sigma, (U, F)).astype(np.float32)
+        v_i = rng.normal(0, self.sigma, (I, F)).astype(np.float32)
 
         feat_scale = (self.alpha / self.beta) * self.sigma
         if user_features is not None:
-            v_uf = np.random.normal(0, feat_scale, (P, F)).astype(np.float32)
+            v_uf = rng.normal(0, feat_scale, (P, F)).astype(np.float32)
         else:
             v_uf = np.zeros((P, F), dtype=np.float32)
         if item_features is not None:
-            v_if = np.random.normal(0, feat_scale, (Q, F)).astype(np.float32)
+            v_if = rng.normal(0, feat_scale, (Q, F)).astype(np.float32)
         else:
             v_if = np.zeros((Q, F), dtype=np.float32)
 
@@ -597,10 +605,22 @@ class RankFM:
                     )
                     self._weights = place_weights(self.mesh, self._weights)
                 else:
+                    # the Pallas table-update packs F+2 columns (factor grad,
+                    # bias grad, validity) into one 128-lane row — gate it on
+                    # the same factors bound as the fused kernel, falling back
+                    # to .at[].add scatters for very wide models
+                    nnz = len(self._ui_items)
+                    density = nnz / max(U * num_items, 1)
                     self._epoch_fn = make_epoch_fn(
                         num_items, max_samples, x_uf_any, x_if_any, bs,
                         sample_rounds=self.sample_rounds, sampler=self._sampler,
-                        pallas_scatter=_on_tpu(), step_kind=step_kind,
+                        pallas_scatter=_on_tpu() and F <= 126,
+                        step_kind=step_kind,
+                        # post-hoc membership testing of only the selected
+                        # negative is a ~density-grade approximation of the
+                        # reference's pre-draw rejection — only sound when
+                        # histories are sparse relative to the catalog
+                        post_reject=density < 0.02,
                     )
                 self._epoch_fn_key = fn_key
 

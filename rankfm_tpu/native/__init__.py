@@ -9,6 +9,7 @@ at sort speed instead of pandas speed.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -17,16 +18,24 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "ingest.cpp")
-_LIB = os.path.join(_HERE, "_ingest.so")
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
-def _build():
+def _lib_path():
+    """Binary path keyed on a content hash of the source: a fresh checkout
+    (where mtimes are meaningless) always rebuilds for ITS source and ITS
+    machine — binaries are never shipped (they are built -march=native)."""
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_HERE, f"_ingest-{h}.so")
+
+
+def _build(lib_path):
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB, _SRC]
+           "-o", lib_path, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -40,10 +49,10 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            if (not os.path.exists(_LIB)
-                    or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-                _build()
-            lib = ctypes.CDLL(_LIB)
+            path = _lib_path()
+            if not os.path.exists(path):
+                _build(path)
+            lib = ctypes.CDLL(path)
             lib.rfm_unique_sorted.restype = ctypes.c_int64
             lib.rfm_unique_sorted.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -145,6 +154,85 @@ def ingest(u_raw, i_raw, uids, iids, prev_csr=None):
     kept = int(n_kept[0])
     return (pairs[:kept].copy(), keep[:n].astype(bool), offsets,
             items[:nnz].copy())
+
+
+_oracle_lock = threading.Lock()
+_oracle_lib = None
+_oracle_tried = False
+
+
+def get_oracle():
+    """Load (building if necessary) the sequential reference-semantics SGD
+    oracle (oracle.cpp); None if no toolchain. Test/validation infrastructure
+    — the TPU training path never calls this."""
+    global _oracle_lib, _oracle_tried
+    if _oracle_lib is not None or _oracle_tried:
+        return _oracle_lib
+    with _oracle_lock:
+        if _oracle_lib is not None or _oracle_tried:
+            return _oracle_lib
+        _oracle_tried = True
+        src = os.path.join(_HERE, "oracle.cpp")
+        try:
+            with open(src, "rb") as f:
+                h = hashlib.sha256(f.read()).hexdigest()[:16]
+            path = os.path.join(_HERE, f"_oracle-{h}.so")
+            if not os.path.exists(path):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-std=c++17", "-o", path, src],
+                    check=True, capture_output=True)
+            lib = ctypes.CDLL(path)
+            lib.rfm_oracle_fit.restype = ctypes.c_int32
+            lib.rfm_oracle_fit.argtypes = (
+                [ctypes.c_void_p] * 2 + [ctypes.c_int64]
+                + [ctypes.c_void_p] * 10
+                + [ctypes.c_int32] * 5
+                + [ctypes.c_float, ctypes.c_float, ctypes.c_float,
+                   ctypes.c_int32, ctypes.c_float,
+                   ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64]
+                + [ctypes.c_void_p])
+            _oracle_lib = lib
+        except Exception:
+            _oracle_lib = None
+    return _oracle_lib
+
+
+def oracle_fit(interactions, sample_weight, offsets, items, x_uf, x_if,
+               weights, alpha, beta, learning_rate, learning_schedule,
+               learning_exponent, max_samples, epochs, seed):
+    """Run the sequential reference-semantics SGD oracle.
+
+    ``weights`` is the {w_i,w_if,v_u,v_i,v_uf,v_if} dict of INITIAL numpy
+    arrays (not mutated). Returns ``(weights_out, ll_per_epoch)`` or None if
+    the native oracle is unavailable.
+    """
+    lib = get_oracle()
+    if lib is None:
+        return None
+    inter = np.ascontiguousarray(interactions, dtype=np.int32)
+    sw = np.ascontiguousarray(sample_weight, dtype=np.float32)
+    off = np.ascontiguousarray(offsets, dtype=np.int32)
+    itm = np.ascontiguousarray(items, dtype=np.int32)
+    xu = np.ascontiguousarray(x_uf, dtype=np.float32)
+    xi = np.ascontiguousarray(x_if, dtype=np.float32)
+    w = {k: np.array(weights[k], dtype=np.float32, order="C")
+         for k in ("w_i", "w_if", "v_u", "v_i", "v_uf", "v_if")}
+    U, F = w["v_u"].shape
+    I = w["v_i"].shape[0]
+    P, Q = xu.shape[1], xi.shape[1]
+    ll = np.zeros(epochs, dtype=np.float32)
+    rc = lib.rfm_oracle_fit(
+        _ptr(inter), _ptr(sw), len(inter), _ptr(off), _ptr(itm),
+        _ptr(xu), _ptr(xi),
+        _ptr(w["w_i"]), _ptr(w["w_if"]), _ptr(w["v_u"]), _ptr(w["v_i"]),
+        _ptr(w["v_uf"]), _ptr(w["v_if"]),
+        U, I, P, Q, F,
+        alpha, beta, learning_rate,
+        1 if learning_schedule == "invscaling" else 0, learning_exponent,
+        max_samples, epochs, seed, _ptr(ll))
+    assert rc == 0, "oracle: weights went non-finite"
+    return w, ll
 
 
 def build_csr(users, items, num_users):

@@ -146,7 +146,16 @@ def apply_table_update(tab, bias, idx, upd, eta, c, tile=2048):
     ``upd [B2, F+2]`` (factor grad | bias grad | validity). Returns the
     decayed + updated ``(tab, bias)``. Jit-traceable; shapes static."""
     N, F = tab.shape
-    B2 = idx.shape[0]
+    # pad the update rows to a multiple of 8 (idx=-1 rows are no-ops): the
+    # sorted kernel's span starts are clipped to B2-TB, and only when B2 and
+    # TB are both multiples of 8 is every clipped start truly 8-aligned (a
+    # false `multiple_of` hint would silently miscompile the dynamic slice)
+    B2 = _round_up(idx.shape[0], 8)
+    if B2 != idx.shape[0]:
+        pad_n = B2 - idx.shape[0]
+        idx = jnp.concatenate([idx, jnp.full((pad_n,), -1, idx.dtype)])
+        upd = jnp.concatenate(
+            [upd, jnp.zeros((pad_n, upd.shape[1]), upd.dtype)])
     tile = min(tile, _round_up(N, 8))
     n_pad = _round_up(N, tile)
     nT = n_pad // tile

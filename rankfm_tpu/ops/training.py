@@ -523,7 +523,7 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
 @lru_cache(maxsize=32)
 def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
                   sample_rounds=8, donate=True, sampler="bsearch",
-                  pallas_scatter=False, step_kind="window"):
+                  pallas_scatter=False, step_kind="window", post_reject=True):
     """Build the jitted whole-epoch function.
 
     One epoch = device-side shuffle + `lax.scan` over minibatches of the
@@ -554,7 +554,7 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
     else:
         step = make_train_step(num_items, max_samples, x_uf_any, x_if_any,
                                sample_rounds, sampler, pallas_scatter,
-                               post_reject=True)
+                               post_reject=post_reject)
 
     def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta,
                  key, epoch):

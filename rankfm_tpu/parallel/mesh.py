@@ -45,8 +45,17 @@ def init_distributed(coordinator_address=None, num_processes=None,
         jax.distributed.initialize(**kwargs)
         init_distributed._done = True
     except (RuntimeError, ValueError):
-        # single-process environments (tests, one-chip dev) need no runtime
-        pass
+        # A bootstrap failure with an explicitly requested coordinator (bad
+        # address, port clash) must NOT be swallowed: each host would proceed
+        # as an independent single-process run and silently train diverged
+        # replicas. Only the zero-argument single-process case (tests,
+        # one-chip dev, no pod metadata to discover) is benign.
+        if coordinator_address is not None:
+            raise
+        import os
+        if any(os.environ.get(k) for k in
+               ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")):
+            raise
 
 
 def make_mesh(data=None, model=None, devices=None):

@@ -13,9 +13,12 @@ import numpy as np
 import jax.numpy as jnp
 
 _WEIGHT_KEYS = ("w_i", "w_if", "v_u", "v_i", "v_uf", "v_if")
+# every constructor argument except `mesh` (a live runtime object — callers
+# re-attach a mesh after load if they want sharded execution)
 _HYPERS = ("factors", "loss", "max_samples", "alpha", "beta", "sigma",
            "learning_rate", "learning_schedule", "learning_exponent",
-           "batch_size", "seed", "sample_rounds")
+           "batch_size", "seed", "sample_rounds", "neg_sampler", "use_fused",
+           "train_step")
 
 
 def save_model(model, path):
@@ -32,6 +35,7 @@ def save_model(model, path):
     payload["hyper_json"] = np.array(
         json.dumps({k: getattr(model, k) for k in _HYPERS})
     )
+    payload["training_log_json"] = np.array(json.dumps(model.training_log_))
     np.savez(path, **payload)
 
 
@@ -45,8 +49,12 @@ def load_model(cls, path):
         path = str(path) + ".npz"
     data = np.load(path, allow_pickle=True)
     hyper = json.loads(str(data["hyper_json"]))
-    extras = {k: hyper.pop(k) for k in ("batch_size", "seed", "sample_rounds")}
-    model = cls(**hyper, **extras)
+    positional = ("factors", "loss", "max_samples", "alpha", "beta", "sigma",
+                  "learning_rate", "learning_schedule", "learning_exponent")
+    extras = {k: v for k, v in hyper.items() if k not in positional}
+    model = cls(**{k: hyper[k] for k in positional}, **extras)
+    if "training_log_json" in data:
+        model.training_log_ = json.loads(str(data["training_log_json"]))
 
     model.user_id = pd.Series(data["user_id"])
     model.item_id = pd.Series(data["item_id"])

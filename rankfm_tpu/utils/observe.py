@@ -15,7 +15,6 @@ notebook cells (SURVEY.md §5). Here:
 from __future__ import annotations
 
 import contextlib
-import time
 
 import jax
 
@@ -34,18 +33,3 @@ def device_memory_stats(device=None):
     d = device or jax.devices()[0]
     stats = getattr(d, "memory_stats", lambda: None)()
     return stats or {}
-
-
-class EpochTimer:
-    """accumulates per-epoch wall time + throughput"""
-
-    def __init__(self, n_examples):
-        self.n = n_examples
-        self._t0 = None
-
-    def start(self):
-        self._t0 = time.time()
-
-    def stop(self):
-        dt = time.time() - self._t0
-        return {"seconds": dt, "interactions_per_s": self.n / dt if dt > 0 else float("inf")}

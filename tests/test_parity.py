@@ -1,18 +1,30 @@
 """Metric-level learning parity: the batched TPU trainer must reach the same
 ranking quality as the reference's sequential per-sample SGD.
 
-Since the Cython reference can't run here, we implement its training loop as
-an independent numpy oracle from the documented semantics (SURVEY.md §2.4 /
-`_rankfm.pyx:218-336`): per-sample updates, WARP sampling with margin early
-stop, per-touch L2 decay, invscaling eta. Both trainers fit the same
-synthetic block-structured dataset; hit-rate/recall@10 must match within run
-variance (the batched trainer is expected to be at parity or better).
+Since the Cython reference can't run here, its training loop is implemented
+twice as independent oracles from the documented semantics (SURVEY.md §2.4 /
+`_rankfm.pyx:218-336`):
+
+* a tiny pure-numpy oracle (below) — readable executable spec, and
+* the C++ oracle (`rankfm_tpu/native/oracle.cpp`) — fast enough to train
+  ML-1M-like configs (2.4k users x 1.2k items x ~120k rows, 10 epochs) so
+  parity is checked AT SCALE, with features, sample weights, and both loss
+  flavors, across all five ranking metrics.
+
+Parity gate: |build - oracle| <= 0.02 absolute on every metric (the batched
+trainer is expected to be at parity or better; see BENCHMARKS.md for the
+measured deltas).
 """
 
 import numpy as np
 import pytest
 
-from rankfm_tpu import RankFM
+from rankfm_tpu import RankFM, evaluation, native
+from parity_common import make_latent_dataset, make_features, oracle_metrics
+
+GATE = 0.02
+METRICS = ("hit_rate", "reciprocal_rank", "discounted_cumulative_gain",
+           "precision", "recall")
 
 
 def _make_data(rng, n_users=120, n_items=60, n_groups=3, per_user=12):
@@ -72,7 +84,6 @@ def _sequential_oracle_fit(train, n_users, n_items, factors, epochs, lr, rng,
 
 
 def _oracle_hit_rate(w_i, v_u, v_i, train, test, k=10):
-    n_users = v_u.shape[0]
     scores = w_i[None, :] + v_u @ v_i.T
     hits = []
     test_sets = {}
@@ -98,7 +109,6 @@ def test_batched_trainer_matches_sequential_oracle_quality():
     hr_oracle = _oracle_hit_rate(w_i, v_u, v_i, train, test)
 
     # batched TPU-style trainer through the public API
-    from rankfm_tpu import evaluation
     model = RankFM(factors=factors, loss='warp', max_samples=5,
                    learning_rate=0.1, learning_schedule='invscaling',
                    batch_size=256)
@@ -108,3 +118,63 @@ def test_batched_trainer_matches_sequential_oracle_quality():
     # both must beat popularity and be within variance of each other
     assert hr_oracle > 0.3, hr_oracle
     assert hr_batched > hr_oracle - 0.1, (hr_batched, hr_oracle)
+
+
+@pytest.mark.skipif(native.get_oracle() is None, reason="no C++ toolchain")
+def test_cpp_oracle_matches_numpy_oracle():
+    """the two independent oracle implementations agree at the metric level"""
+    rng = np.random.default_rng(42)
+    train, test = _make_data(rng)
+    n_users, n_items = 120, 60
+    epochs, factors = 15, 8
+
+    w_i, v_u, v_i = _sequential_oracle_fit(
+        train, n_users, n_items, factors, epochs, lr=0.1,
+        rng=np.random.default_rng(7))
+    hr_np = _oracle_hit_rate(w_i, v_u, v_i, train, test)
+
+    model = RankFM(factors=factors, loss='warp', max_samples=5,
+                   learning_rate=0.1, learning_schedule='invscaling')
+    m = oracle_metrics(model, train, test, epochs=epochs)
+    assert abs(m["hit_rate"] - hr_np) < 0.12, (m["hit_rate"], hr_np)
+    assert m["hit_rate"] > 0.3
+
+
+import jax  # noqa: E402
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="scaled parity runs on TPU (make test-tpu); the "
+                           "XLA-CPU fit takes ~8 min per config")
+@pytest.mark.skipif(native.get_oracle() is None, reason="no C++ toolchain")
+@pytest.mark.parametrize("loss,max_samples,features,weights", [
+    ("warp", 10, False, True),   # the reference's ML-1M headline shape
+    ("warp", 10, True, False),   # side features (Instacart headline shape)
+    ("bpr", 10, False, False),
+])
+def test_scaled_parity_vs_cpp_oracle(loss, max_samples, features, weights):
+    """ML-1M-like scale: all five metrics within +-0.02 of the sequential
+    reference-semantics oracle"""
+    rng = np.random.default_rng(11)
+    train, test = make_latent_dataset(rng)
+    uf, itf = make_features(rng, train) if features else (None, None)
+    sw = (rng.integers(1, 4, len(train)).astype(np.float32)
+          if weights else None)
+
+    model = RankFM(factors=16, loss=loss, max_samples=max_samples,
+                   alpha=0.01, beta=0.1, sigma=0.1, learning_rate=0.1,
+                   learning_schedule='invscaling', seed=1492)
+    model.fit(train, user_features=uf, item_features=itf,
+              sample_weight=sw, epochs=10)
+    build = evaluation.compute(model, test, k=10)
+
+    oracle = oracle_metrics(model, train, test, epochs=10,
+                            user_features=uf, item_features=itf,
+                            sample_weight=sw)
+    # sanity: the problem is learnable (well above the ~0.2 popularity level)
+    assert oracle["hit_rate"] > 0.5, oracle
+    for m in METRICS:
+        assert abs(build[m] - oracle[m]) <= GATE, (
+            m, build[m], oracle[m], {k: round(build[k] - oracle[k], 4)
+                                     for k in METRICS})

