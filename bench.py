@@ -73,6 +73,7 @@ def main():
         "value": round(examples_per_s, 1),
         "unit": "interactions/s",
         "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 2),
+        "warmup_s": round(warm, 1),
     }
     print(json.dumps(result))
     print(f"# n={n} epochs={EPOCHS} elapsed={elapsed:.2f}s warmup(fit+compile)={warm:.1f}s "

@@ -175,6 +175,7 @@ class RankFM:
         self._bitmap_dev = None
         self._sampler = None
         self._packed_hist = None
+        self._win_cols = None
         self._ingest_hash = None
         self._keep_cache = None
 
@@ -291,7 +292,8 @@ class RankFM:
         self._ui_offsets, self._ui_items = offsets, items
         self._offsets_dev = jnp.asarray(offsets)
         self._flat_items_dev = jnp.asarray(items)
-        self._packed_hist = None  # fused-kernel history cache (rebuilt lazily)
+        self._packed_hist = None  # fused-kernel history caches (rebuilt lazily)
+        self._win_cols = None
 
         # membership strategy: packed bitmap when affordable (one row gather
         # per batch beats O(log nnz) binary-search rounds on TPU); the bitmap
@@ -553,20 +555,28 @@ class RankFM:
             if self._packed_hist is None:
                 self._packed_hist = fused_mod.pack_history_device(
                     self._ui_offsets, self._ui_items, U, num_items)
+            if self._win_cols is None:
+                self._win_cols = fused_mod.pack_win_cols(
+                    self._packed_hist, U, num_items)
             chunk = min(512, bs)
             w = self._weights
             table_bf16 = fused_mod.TABLE_BF16 or fused_mode == 'bf16'
             tab_u, tab_i = fused_mod.extend_tables(
                 w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad, table_bf16)
-            rec_dev = jnp.asarray(fused_mod.make_records(u, i, sw, n, U, num_items))
+            rec_np, group_np, ublk_np = fused_mod.make_records_grouped(
+                self.interactions[:, 0], self.interactions[:, 1],
+                self.sample_weight, U, num_items, bs, chunk)
+            rec_dev = jnp.asarray(rec_np)
+            group_dev = jnp.asarray(group_np)
+            ublk_dev = jnp.asarray(ublk_np)
             epoch_fn = fused_mod.make_fused_epoch_fn(
                 U, num_items, F, max_samples, bs, chunk=chunk,
                 table_bf16=table_bf16)
             for epoch in range(epochs):
                 t0 = _time.time()
                 tab_u, tab_i, ll = epoch_fn(
-                    tab_u, tab_i, self._packed_hist, rec_dev,
-                    float(_eta(epoch)), float(self.alpha),
+                    tab_u, tab_i, self._win_cols, rec_dev, group_dev,
+                    ublk_dev, float(_eta(epoch)), float(self.alpha),
                     base_key, epoch)
                 if verbose:
                     # reference-style live epoch reporting needs the weights
@@ -601,7 +611,7 @@ class RankFM:
                     self._epoch_fn = make_sharded_epoch_fn(
                         self.mesh, num_items, max_samples, x_uf_any, x_if_any,
                         bs, sample_rounds=self.sample_rounds,
-                        sampler=self._sampler,
+                        sampler=self._sampler, step_kind=step_kind,
                     )
                     self._weights = place_weights(self.mesh, self._weights)
                 else:
@@ -625,7 +635,7 @@ class RankFM:
                 self._epoch_fn_key = fn_key
 
             w = self._weights
-            if self.mesh is not None or step_kind == 'candidate':
+            if step_kind == 'candidate':
                 hist = {"offsets": self._offsets_dev,
                         "flat": self._flat_items_dev,
                         "bitmap": self._ensure_bitmap()}

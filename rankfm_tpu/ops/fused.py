@@ -21,12 +21,13 @@ Design (v2.5 — windowed negatives, user-bucketed chunks):
   uniform draws". The window turns every O(I) selection pass into O(BLK) —
   the same statistical move the reference makes by only ever LOOKING at
   ``max_samples`` random candidates instead of the full catalog;
-* each batch is re-laid-out so every chunk's rows share ONE 1024-user block
-  (`_make_bucketer`: payload sort + arithmetic slot maps, no scatters or
-  element gathers): the user one-hot contracts over 1024 rows instead of
-  U_pad, the user-table update touches only that block's slice, and the
-  chunk's window-membership words are gathered in-kernel through the same
-  one-hot as two exact 8-bit bf16 planes;
+* the epoch layout is fixed at FIT time so every chunk's rows share ONE
+  1024-user block (`make_records_grouped`); each epoch re-randomizes row
+  order within blocks with a single segmented-shuffle sort and the scan
+  body is just the Pallas call. The user one-hot then contracts over 1024
+  rows instead of U_pad, the user-table update touches only that block's
+  slice, and the chunk's window-membership words are gathered in-kernel
+  through the same one-hot as two exact 8-bit bf16 planes;
 * for BPR (``max_samples == 1``) the violator machinery is skipped entirely
   and ``j`` is a uniform non-member of the window — exactly the reference's
   single uniform draw (`rankfm.py:294-297`);
@@ -223,26 +224,65 @@ def extract_tables(tab_u, tab_i, num_users, num_items, factors):
     return w_i, v_u, v_i
 
 
-def make_records(u, i, sw, n_real, num_users, num_items):
-    """Pack padded interaction columns into one int32 [n_pad, 4] record array
-    ``[u, i, bits(sw), bits(valid)]`` — the epoch shuffle then needs a single
-    row gather instead of three scalar gathers plus a concat. Pad rows point
-    at the guard user row / an item pad row so the kernel's one-hot builds
-    need no validity multiply."""
-    n_pad = len(u)
+def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
+    """Fit-time epoch layout: pack the RAW interaction columns into int32
+    ``[u, i, bits(sw), bits(valid)]`` records GROUPED by user block, with
+    each block's run padded to whole chunks (and the tail to whole batches)
+    by invalid guard records.
+
+    Returns ``(rec [n_pad, 4], group [n_pad], ublk [nb, nT])`` where
+    ``group`` is each slot's user block (tail guards get block NBU so they
+    sort last) and ``ublk`` is the STATIC chunk -> user-block assignment.
+
+    Per-epoch randomization then needs only ONE segmented-shuffle sort —
+    ``lax.sort((group, random, *record_cols), num_keys=2)`` — because rows
+    may mix freely WITHIN their user block without breaking the kernel's
+    chunk-purity invariant. This kills the per-epoch re-bucketing (a sort +
+    an [n_pad]-row gather) the previous design paid, and pads ~NBU*chunk
+    rows per FIT instead of per BATCH.
+    """
+    n = len(u)
+    NBU = num_user_blocks(num_users)
+    nT = batch_size // chunk
+    assert nT * chunk == batch_size
+    u = np.asarray(u, dtype=np.int32)
+    i = np.asarray(i, dtype=np.int32)
+    sw = np.asarray(sw, dtype=np.float32)
+    if NBU == 1:
+        ubid = np.zeros(n, dtype=np.int32)
+    else:
+        assert user_block(num_users) == UBLK
+        ubid = (u >> 10).astype(np.int32)
+    order = np.argsort(ubid, kind="stable")
+    ub_s = ubid[order]
+    cnt = np.bincount(ub_s, minlength=NBU)
+    pad_cnt = (cnt + chunk - 1) // chunk * chunk
+    nC = int(pad_cnt.sum()) // chunk
+    nC_pad = (nC + nT - 1) // nT * nT
+    n_pad = nC_pad * chunk
+
+    guard_u = user_pad(num_users) - 1
+    guard_i = num_items if num_items < item_pad(num_items) else 0
     rec = np.empty((n_pad, 4), dtype=np.int32)
-    rec[:, 0] = u
-    rec[:, 1] = i
-    rec[:n_real, 2] = np.asarray(sw[:n_real], dtype=np.float32).view(np.int32)
-    valid = np.zeros(n_pad, dtype=np.float32)
-    valid[:n_real] = 1.0
-    rec[:, 3] = valid.view(np.int32)
-    rec[n_real:, 0] = user_pad(num_users) - 1
-    # item guard = first pad item when one exists; else item 0 (the kernel
-    # then keeps its validity multiply on the positive one-hot)
-    rec[n_real:, 1] = num_items if num_items < item_pad(num_items) else 0
-    rec[n_real:, 2] = 0  # 0x0 == bits of 0.0f
-    return rec
+    rec[:, 0] = guard_u
+    rec[:, 1] = guard_i
+    rec[:, 2] = 0          # bits of 0.0f
+    rec[:, 3] = 0          # invalid
+    src_start = np.cumsum(cnt) - cnt
+    dst_start = np.cumsum(pad_cnt) - pad_cnt
+    dst = (np.arange(n, dtype=np.int64)
+           - src_start[ub_s] + dst_start[ub_s])
+    rec[dst, 0] = u[order]
+    rec[dst, 1] = i[order]
+    rec[dst, 2] = sw[order].view(np.int32)
+    rec[dst, 3] = np.full(n, 1.0, np.float32).view(np.int32)
+
+    group = np.full(n_pad, NBU, dtype=np.int32)
+    group[:int(pad_cnt.sum())] = np.repeat(
+        np.arange(NBU, dtype=np.int32), pad_cnt)
+    ublk = np.zeros(nC_pad, dtype=np.int32)
+    ublk[:nC] = np.repeat(np.arange(NBU, dtype=np.int32), pad_cnt // chunk)
+    return rec, group, ublk.reshape(nC_pad // nT, nT)
 
 
 def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
@@ -275,13 +315,17 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     eta = eta_ref[0]
     dreg = dreg_ref[0]                               # eta * 2 * alpha
     g = jax.lax.rem(t, G)                            # this chunk's window
-    boff = blk_ref[g] * BLK
+    blk = blk_ref[g]
+    boff = blk * BLK
     ubase = ublk_ref[t] * UB                         # user block (per chunk)
     # the window's packed membership columns for this chunk's user block:
-    # one small sliced DMA from HBM (keeps G windows without G*LW lanes of
-    # VMEM residency)
+    # one small sliced DMA from the FULL per-fit lane-padded pack
+    # ([NBLK*U_pad, 128], see `pack_win_cols`; block-major so the slice is
+    # one CONTIGUOUS sublane span — a [U_pad, NBLK*128] layout makes this
+    # DMA row-strided and measurably slower). Nothing item-windowed is
+    # built per batch in XLA.
     wdma = pltpu.make_async_copy(
-        wincols_ref.at[pl.ds(ubase, UB), pl.ds(g * LANES, LANES)],
+        wincols_ref.at[pl.ds(blk * U_pad + ubase, UB), :],
         win_scratch, copy_sem.at[0])
     wdma.start()
     wdma.wait()
@@ -290,10 +334,10 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     twr = tab_i[pl.ds(boff, BLK), :]
     tw = twr if TBF16 else twr.astype(jnp.bfloat16)        # [BLK,128] window
 
-    # ---- one-hot gathers (MXU). The batch layout buckets every chunk's
-    # rows into ONE user block (see `_make_bucketer`), so the user one-hot
-    # contracts over UB rows, not U_pad. Validity masks keep per-block pad
-    # slots out of the counts ----
+    # ---- one-hot gathers (MXU). The fit-time layout buckets every chunk's
+    # rows into ONE user block (see `make_records_grouped`), so the user
+    # one-hot contracts over UB rows, not U_pad. Validity masks keep
+    # per-block pad slots out of the counts ----
     cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, UB), 1) + ubase
     oh_uf = (u == cols_u).astype(jnp.float32) * valid             # [C,UB] f32
     oh_u = oh_uf.astype(jnp.bfloat16)
@@ -445,15 +489,14 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     """Build ``fn(tab_u, tab_i, rec, win_cols, blk, ublk, seed, eta, dreg)
     -> (tab_u, tab_i, ll)`` running one minibatch fully fused.
 
-    ``rec [B_pad,4] int32`` bucketed interaction records (`_make_bucketer`),
-    ``win_cols [U_pad, G*128] int32`` the G windows' packed membership
-    columns for ALL users, each padded to a 128-lane block (HBM-resident;
-    the kernel DMAs its chunk's user-block slice and gathers rows via the
-    user one-hot),
+    ``rec [B,4] int32`` bucketed interaction records (`make_records_grouped`
+    + the per-epoch segmented shuffle),
+    ``win_cols [NBLK, U_pad, 128] int32`` EVERY block's packed membership
+    columns for ALL users, block-major and lane-padded (`pack_win_cols`,
+    built once per fit, HBM-resident; the kernel DMAs the [user-block x
+    window-block] slice it needs and gathers rows via the user one-hot),
     ``blk [G] int32`` the batch's window block ids (chunks round-robin),
     ``ublk [nT] int32`` each chunk's user block id.
-
-    ``batch_size`` here is the BUCKETED row count (`bucketed_size`).
     """
     U_pad = user_pad(num_users)
     UB = user_block(num_users)
@@ -522,121 +565,71 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     return fn
 
 
-def bucketed_size(num_users, batch_size, chunk):
-    """Row count of a batch after per-user-block bucket padding."""
-    nbu = num_user_blocks(num_users)
-    return batch_size + nbu * chunk if nbu > 1 else batch_size
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _pad_win_cols(packed_hist, u_pad, nblk, lw):
+    u = packed_hist.shape[0]
+    x = packed_hist.reshape(u, nblk, lw)
+    x = jnp.pad(x, ((0, u_pad - u), (0, 0), (0, LANES - lw)))
+    return jnp.transpose(x, (1, 0, 2)).reshape(nblk * u_pad, LANES)
 
 
-def _make_bucketer(num_users, num_items, batch_size, chunk):
-    """Build ``bucket(rec [B,4], key) -> (rec_pad [B_pad,4], ublk [nT])``:
-    reorder a batch so every ``chunk``-row group's rows share ONE user block
-    (each block's run padded to a whole number of chunks with invalid guard
-    records). Block processing order is re-randomized per batch. All shapes
-    static; no scatters — one small sort + row gathers."""
-    UB = user_block(num_users)
-    NBU = num_user_blocks(num_users)
-    assert UB == UBLK and (UB & (UB - 1)) == 0
-    B_pad = bucketed_size(num_users, batch_size, chunk)
-    nT = B_pad // chunk
-    guard_i = num_items if num_items < item_pad(num_items) else 0
-    guard_rec = jnp.asarray([0, guard_i, 0, 0], jnp.int32)
-
-    def bucket(cols, key):
-        r0, r1, r2, r3 = cols
-        ub_ids = r0 >> 10                                         # [B]
-        bperm = jax.random.permutation(key, NBU)
-        rank = jnp.argsort(bperm)                                 # block -> slot
-        sort_key = rank[ub_ids]
-        # sort with the record columns as payload (no post-sort row gather)
-        _, r0, r1, r2, r3 = jax.lax.sort(
-            (sort_key, r0, r1, r2, r3), num_keys=1)
-        rec_s = jnp.stack([r0, r1, r2, r3], axis=1)
-        cnt = jnp.sum(sort_key[:, None] == jnp.arange(NBU)[None, :],
-                      axis=0, dtype=jnp.int32)                    # per slot
-        starts = jnp.cumsum(cnt) - cnt
-        pad_cnt = (cnt + chunk - 1) // chunk * chunk
-        pad_end = jnp.cumsum(pad_cnt)
-        pad_off = pad_end - pad_cnt
-        chunk_start = jnp.arange(nT, dtype=jnp.int32) * chunk
-        cb = jnp.minimum(
-            jnp.searchsorted(pad_end, chunk_start, side="right"), NBU - 1)
-        ublk = bperm[cb].astype(jnp.int32)                        # [nT]
-        # per-chunk values expanded by STATIC repeat — no [B_pad]-element
-        # gathers (XLA lowers those to serial element loads)
-        slot = jnp.arange(B_pad, dtype=jnp.int32)
-        sb_off = jnp.repeat(pad_off[cb], chunk)                   # [B_pad]
-        sb_cnt = jnp.repeat(cnt[cb], chunk)
-        sb_start = jnp.repeat(starts[cb], chunk)
-        intra = slot - sb_off
-        vslot = (intra >= 0) & (intra < sb_cnt)
-        src = sb_start + jnp.clip(intra, 0, jnp.maximum(sb_cnt - 1, 0))
-        rec_pad = jnp.where(vslot[:, None], rec_s[src], guard_rec[None, :])
-        return rec_pad, ublk
-
-    return bucket
+def pack_win_cols(packed_hist, num_users, num_items):
+    """[U, NBLK*LW] blocked history pack -> [NBLK*U_pad, 128] lane-padded
+    window columns, built ONCE per fit, BLOCK-major so each block's columns
+    form one contiguous row span. The fused kernel DMAs its chunk's
+    [UB, 128] slice at row offset ``blk*U_pad + ubase`` — no per-batch
+    windowed membership array is ever materialized in XLA, and the DMA is a
+    contiguous sublane span (the known-fast Mosaic pattern)."""
+    BLK = block_size(num_items)
+    LW = BLK // BITS_PER_LANE
+    NBLK = item_pad(num_items) // BLK
+    return _pad_win_cols(packed_hist, user_pad(num_users), NBLK, LW)
 
 
 def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk, windows=1):
-    """Shared single-epoch logic: device shuffle + scan over minibatches."""
-    BLK = block_size(num_items)
+    """Shared single-epoch logic: ONE segmented-shuffle sort (the layout is
+    fixed at fit time, `make_records_grouped`) + a batch-order rotation +
+    a scan whose body is ONLY the fused Pallas call."""
     I_pad = item_pad(num_items)
-    LW = BLK // BITS_PER_LANE
-    NBLK = I_pad // BLK
-    NBU = num_user_blocks(num_users)
-    B_pad = bucketed_size(num_users, batch_size, chunk)
-    nT = B_pad // chunk
+    NBLK = I_pad // block_size(num_items)
+    nT = batch_size // chunk
     G = windows
-    bucket = (_make_bucketer(num_users, num_items, batch_size, chunk)
-              if NBU > 1 else None)
 
-    def one_epoch(tab_u, tab_i, packed_hist, rec, eta, alpha, key, epoch):
+    def one_epoch(tab_u, tab_i, win_cols, rec, group, ublk, eta, alpha,
+                  key, epoch):
         n_pad = rec.shape[0]
         nb = n_pad // batch_size
         key = jax.random.fold_in(key, epoch)
-        kperm, ksamp, kblk, kbu = jax.random.split(key, 4)
-        # epoch shuffle as ONE payload sort by random keys (a permutation
-        # gather costs ~4ns/row; the sort carries the columns along)
+        kperm, ksamp, kblk, krot = jax.random.split(key, 4)
+        # segmented shuffle: one stable 2-key payload sort re-randomizes row
+        # order WITHIN each user block (block runs and chunk->block
+        # assignment are static - no gathers, no per-batch relayout)
         rnd = jax.random.bits(kperm, (n_pad,), jnp.uint32)
-        _, c0, c1, c2, c3 = jax.lax.sort(
-            (rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]), num_keys=1)
-        cols = [c.reshape(nb, batch_size) for c in (c0, c1, c2, c3)]
+        _, _, c0, c1, c2, c3 = jax.lax.sort(
+            (group, rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]),
+            num_keys=2)
+        rec_b = jnp.stack([c0, c1, c2, c3], axis=1).reshape(
+            nb, batch_size, 4)
+        # rotate the batch processing order so the (static) block visit
+        # order varies across epochs
+        r = jax.random.randint(krot, (), 0, nb)
+        rec_b = jnp.roll(rec_b, r, axis=0)
+        ublk_b = jnp.roll(ublk, r, axis=0)
         seeds = jax.random.randint(ksamp, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
         blks = jax.random.randint(kblk, (nb, G), 0, NBLK, dtype=jnp.int32)
-        bkeys = jax.random.split(kbu, nb)
         eta_arr = jnp.reshape(jnp.asarray(eta, jnp.float32), (1,))
         dreg_arr = eta_arr * (2.0 * jnp.asarray(alpha, jnp.float32))
 
-        U_pad = user_pad(num_users)
-        num_u = packed_hist.shape[0]
-
         def body(carry, xs):
             tu, ti = carry
-            c0_, c1_, c2_, c3_, seed_, blk_, bkey_ = xs
-            if bucket is not None:
-                rec_b, ublk = bucket((c0_, c1_, c2_, c3_), bkey_)
-            else:
-                rec_b = jnp.stack([c0_, c1_, c2_, c3_], axis=1)
-                ublk = jnp.zeros((nT,), jnp.int32)
-            # G window blocks per batch (chunks round-robin): concat each
-            # window's packed membership columns ([U_pad, G*LW]); the kernel
-            # DMAs its chunk's user-block slice and gathers rows via the
-            # user one-hot matmul
-            win_cols = jnp.concatenate([
-                jnp.pad(jax.lax.dynamic_slice_in_dim(
-                    packed_hist, blk_[g] * LW, LW, axis=1),
-                    ((0, 0), (0, 128 - LW)))
-                for g in range(G)], axis=1)               # [U, G*128]
-            win_cols = jnp.pad(win_cols, ((0, U_pad - num_u), (0, 0)))
-            tu, ti, ll = batch_fn(tu, ti, rec_b, win_cols,
-                                  blk_, ublk,
+            rec_, seed_, blk_, ublk_ = xs
+            tu, ti, ll = batch_fn(tu, ti, rec_, win_cols, blk_, ublk_,
                                   jnp.reshape(seed_, (1,)),
                                   eta_arr, dreg_arr)
             return (tu, ti), ll
 
         (tab_u, tab_i), lls = jax.lax.scan(
-            body, (tab_u, tab_i),
-            (cols[0], cols[1], cols[2], cols[3], seeds, blks, bkeys))
+            body, (tab_u, tab_i), (rec_b, seeds, blks, ublk_b))
         return tab_u, tab_i, jnp.sum(lls)
 
     return one_epoch
@@ -645,28 +638,31 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk, windows=1):
 @lru_cache(maxsize=16)
 def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
                         chunk=128, donate=True, table_bf16=False):
-    """Whole-epoch driver around the fused kernel: device shuffle, packed-mask
-    window gather per step (XLA), `lax.scan` over minibatches.
+    """Whole-epoch driver around the fused kernel: one segmented-shuffle
+    sort per epoch (the bucketed layout is fixed at fit time,
+    `make_records_grouped`), then a `lax.scan` whose body is only the
+    Pallas call.
 
-    Signature: ``epoch_fn(tab_u, tab_i, packed_hist, rec, eta, alpha, key,
-    epoch) -> (tab_u, tab_i, ll)`` with ``rec`` from `make_records`; the
-    per-epoch PRNG stream is ``fold_in(key, epoch)`` computed ON DEVICE so
-    the caller passes the same base key every epoch (no per-epoch host-side
-    PRNG dispatches).
+    Signature: ``epoch_fn(tab_u, tab_i, win_cols, rec, group, ublk, eta,
+    alpha, key, epoch) -> (tab_u, tab_i, ll)`` with ``rec/group/ublk`` from
+    `make_records_grouped` and ``win_cols`` from `pack_win_cols` (both built
+    once per fit); the per-epoch PRNG stream is ``fold_in(key, epoch)``
+    computed ON DEVICE so the caller passes the same base key every epoch
+    (no per-epoch host-side PRNG dispatches).
     """
     nblk = item_pad(num_items) // block_size(num_items)
     # one window per batch is at metric parity through 4 blocks (dense);
     # beyond that rotate 4 windows for negative diversity
     windows = 1 if nblk <= 4 else min(4, nblk)
     batch_fn = make_fused_batch_fn(
-        num_users, num_items, factors, max_samples,
-        bucketed_size(num_users, batch_size, chunk), chunk,
+        num_users, num_items, factors, max_samples, batch_size, chunk,
         table_bf16=table_bf16, windows=windows)
     one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
                             windows=windows)
 
-    def epoch_fn(tab_u, tab_i, packed_hist, rec, eta, alpha, key, epoch):
-        return one_epoch(tab_u, tab_i, packed_hist, rec,
+    def epoch_fn(tab_u, tab_i, win_cols, rec, group, ublk, eta, alpha,
+                 key, epoch):
+        return one_epoch(tab_u, tab_i, win_cols, rec, group, ublk,
                          jnp.float32(eta), jnp.float32(alpha), key,
                          jnp.int32(epoch))
 

@@ -63,6 +63,10 @@ from rankfm_tpu.ops.negatives import (
 
 MARGIN = 1.0
 
+# timing-ablation hook for tools/probe_candidate_breakdown.py: forces all
+# candidate draws to item 0 (wrong results; isolates gather/scoring cost)
+_PROBE_FIXED_CANDS = False
+
 
 def _decay_apply(wt, grad, counts, eta, reg):
     """Apply the geometric-corrected per-touch decay + accumulated gradient.
@@ -113,6 +117,8 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         if post_reject:
             cands = jax.random.randint(key, (B, M), 0, num_items,
                                        dtype=jnp.int32)
+            if _PROBE_FIXED_CANDS:
+                cands = jnp.zeros_like(cands)
             cand_ok = jnp.ones((B, M), bool)
         elif sampler == "bitmap":
             cands, cand_ok = sample_negatives_bitmap(

@@ -71,8 +71,9 @@ def test_extend_extract_roundtrip():
     # bias column conventions
     np.testing.assert_allclose(np.asarray(tu[:U, F]), 1.0)
     np.testing.assert_allclose(np.asarray(ti[:I, F]), np.asarray(w_i))
-    # utility = 128-lane dot
-    s = np.asarray(tu[:U] @ ti[:I].T)
+    # utility = 128-lane dot (host-side: on TPU the default jnp matmul runs
+    # reduced-precision passes, which is NOT what this layout test checks)
+    s = np.asarray(tu[:U]) @ np.asarray(ti[:I]).T
     want = np.asarray(v_u @ v_i.T + w_i[None, :])
     np.testing.assert_allclose(s, want, rtol=1e-5, atol=1e-5)
     w2, vu2, vi2 = fused.extract_tables(tu, ti, U, I, F)
@@ -114,13 +115,14 @@ def test_fused_batch_trains():
         jnp.asarray(rng.normal(0, 0.1, (I, F)).astype(np.float32)),
         fused.user_pad(U), 128)
     n = len(pairs)
-    u = np.zeros(B, np.int32); i = np.zeros(B, np.int32); sw = np.zeros(B, np.float32)
-    u[:n] = pairs[:, 0]; i[:n] = pairs[:, 1]; sw[:n] = 1.0
     epoch = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128, donate=False)
-    rec = jnp.asarray(fused.make_records(u, i, sw, n, U, I))
+    rec, group, ublk = fused.make_records_grouped(
+        pairs[:, 0], pairs[:, 1], np.ones(n, np.float32), U, I, B, 128)
+    rec, group, ublk = map(jnp.asarray, (rec, group, ublk))
+    win_cols = fused.pack_win_cols(packed, U, I)
     lls = []
     for e in range(10):
-        tu, ti, ll = epoch(tu, ti, packed, rec, 0.1, 0.01,
+        tu, ti, ll = epoch(tu, ti, win_cols, rec, group, ublk, 0.1, 0.01,
                            jax.random.PRNGKey(0), e)
         lls.append(float(ll))
     assert np.isfinite(lls).all()
@@ -146,42 +148,58 @@ def test_full_history_users_get_no_updates():
         fused.user_pad(U), fused.item_pad(I))
     u = rng.integers(0, U, B).astype(np.int32)
     i = rng.integers(0, I, B).astype(np.int32)
-    rec = jnp.asarray(fused.make_records(u, i, np.ones(B, np.float32), B, U, I))
+    rec, group, ublk = fused.make_records_grouped(
+        u, i, np.ones(B, np.float32), U, I, B, 128)
+    rec, group, ublk = map(jnp.asarray, (rec, group, ublk))
     ep = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128, donate=False)
-    _, _, ll = ep(tu, ti, packed, rec, 0.1, 0.01, jax.random.PRNGKey(0), 0)
+    win_cols = fused.pack_win_cols(packed, U, I)
+    _, _, ll = ep(tu, ti, win_cols, rec, group, ublk, 0.1, 0.01,
+                  jax.random.PRNGKey(0), 0)
     assert float(ll) == 0.0
 
 
-def test_bucketer_layout_invariants():
-    """every chunk's rows share one user block; every input row appears
-    exactly once; pad slots are invalid guard records"""
-    import jax
-
+def test_grouped_records_layout_invariants():
+    """fit-time grouped layout: every chunk's rows share one user block;
+    every input row appears exactly once; pad slots are invalid guard
+    records — and the invariants SURVIVE the per-epoch segmented shuffle
+    (the 2-key sort the epoch body runs)"""
     U, I = 3000, 256            # 3 user blocks (UB=1024)
     B, C = 2048, 128
     NBU = fused.num_user_blocks(U)
     assert NBU == 3
-    bucket = fused._make_bucketer(U, I, B, C)
     rng = np.random.default_rng(0)
-    u = rng.integers(0, U, B).astype(np.int32)
-    i = rng.integers(0, I, B).astype(np.int32)
-    rec = fused.make_records(u, i, np.ones(B, np.float32), B, U, I)
-    cols = tuple(jnp.asarray(rec[:, k]) for k in range(4))
-    rec_pad, ublk = jax.jit(bucket)(cols, jax.random.PRNGKey(3))
-    rec_pad, ublk = np.asarray(rec_pad), np.asarray(ublk)
-    B_pad = fused.bucketed_size(U, B, C)
-    assert rec_pad.shape == (B_pad, 4) and ublk.shape == (B_pad // C,)
+    n = 3 * B - 300             # deliberately not a whole number of batches
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    sw = rng.random(n).astype(np.float32) + 0.5
+    rec, group, ublk = fused.make_records_grouped(u, i, sw, U, I, B, C)
+    n_pad = rec.shape[0]
+    assert n_pad % B == 0
+    nb, nT = ublk.shape
+    assert nb == n_pad // B and nT == B // C
 
-    valid = rec_pad[:, 3].view(np.float32) == 1.0
-    # chunk purity: valid rows' user block == the chunk's assigned block
-    for t in range(B_pad // C):
-        seg = rec_pad[t * C:(t + 1) * C]
-        segv = seg[valid[t * C:(t + 1) * C]]
-        if len(segv):
-            assert ((segv[:, 0] >> 10) == ublk[t]).all(), t
-    # conservation: the multiset of valid rows == the input rows
-    got = rec_pad[valid][:, :2]
-    want = rec[:, :2]
-    got_sorted = got[np.lexsort((got[:, 1], got[:, 0]))]
-    want_sorted = want[np.lexsort((want[:, 1], want[:, 0]))]
-    np.testing.assert_array_equal(got_sorted, want_sorted)
+    def check(rec_flat):
+        valid = rec_flat[:, 3].view(np.float32) == 1.0
+        # chunk purity: valid rows' user block == the chunk's static block
+        ub_flat = ublk.reshape(-1)
+        for t in range(n_pad // C):
+            seg = rec_flat[t * C:(t + 1) * C]
+            segv = seg[valid[t * C:(t + 1) * C]]
+            if len(segv):
+                assert ((segv[:, 0] >> 10) == ub_flat[t]).all(), t
+        # conservation incl. sample weights
+        got = rec_flat[valid][:, :3]
+        want = np.stack([u, i, sw.view(np.int32)], 1)
+        order_g = np.lexsort((got[:, 2], got[:, 1], got[:, 0]))
+        order_w = np.lexsort((want[:, 2], want[:, 1], want[:, 0]))
+        np.testing.assert_array_equal(got[order_g], want[order_w])
+
+    check(rec)
+    # the per-epoch segmented shuffle preserves every invariant
+    rnd = jax.random.bits(jax.random.PRNGKey(5), (n_pad,), jnp.uint32)
+    _, _, c0, c1, c2, c3 = jax.lax.sort(
+        (jnp.asarray(group), rnd, *(jnp.asarray(rec[:, k]) for k in range(4))),
+        num_keys=2)
+    shuffled = np.stack([np.asarray(c) for c in (c0, c1, c2, c3)], 1)
+    check(shuffled)
+    assert not np.array_equal(shuffled, rec)  # it did shuffle
