@@ -176,6 +176,7 @@ class RankFM:
         self._sampler = None
         self._packed_hist = None
         self._win_cols = None
+        self._rec_cache = None
         self._ingest_hash = None
         self._keep_cache = None
 
@@ -294,6 +295,7 @@ class RankFM:
         self._flat_items_dev = jnp.asarray(items)
         self._packed_hist = None  # fused-kernel history caches (rebuilt lazily)
         self._win_cols = None
+        self._rec_cache = None
 
         # membership strategy: packed bitmap when affordable (one row gather
         # per batch beats O(log nnz) binary-search rounds on TPU); the bitmap
@@ -563,12 +565,23 @@ class RankFM:
             table_bf16 = fused_mod.TABLE_BF16 or fused_mode == 'bf16'
             tab_u, tab_i = fused_mod.extend_tables(
                 w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad, table_bf16)
-            rec_np, group_np, ublk_np = fused_mod.make_records_grouped(
-                self.interactions[:, 0], self.interactions[:, 1],
-                self.sample_weight, U, num_items, bs, chunk)
-            rec_dev = jnp.asarray(rec_np)
-            group_dev = jnp.asarray(group_np)
-            ublk_dev = jnp.asarray(ublk_np)
+            # grouped records are ~16 B/row; cache across fit_partial calls
+            # (repeated fits on identical data would otherwise pay the host
+            # layout + a multi-MB host->device transfer per call)
+            import zlib
+            rec_key = (self._ingest_hash, bs, chunk, n,
+                       zlib.adler32(np.ascontiguousarray(self.sample_weight)))
+            cached = getattr(self, "_rec_cache", None)
+            if cached is not None and cached[0] == rec_key \
+                    and self._ingest_hash is not None:
+                _, layout_dev = cached
+            else:
+                layout = fused_mod.make_records_grouped(
+                    self.interactions[:, 0], self.interactions[:, 1],
+                    self.sample_weight, U, num_items, bs, chunk)
+                layout_dev = tuple(map(jnp.asarray, layout))
+                self._rec_cache = (rec_key, layout_dev)
+            rec_dev, group_dev, cids_dev, ublk_dev, iblk_dev = layout_dev
             epoch_fn = fused_mod.make_fused_epoch_fn(
                 U, num_items, F, max_samples, bs, chunk=chunk,
                 table_bf16=table_bf16)
@@ -576,8 +589,8 @@ class RankFM:
                 t0 = _time.time()
                 tab_u, tab_i, ll = epoch_fn(
                     tab_u, tab_i, self._win_cols, rec_dev, group_dev,
-                    ublk_dev, float(_eta(epoch)), float(self.alpha),
-                    base_key, epoch)
+                    cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
+                    float(self.alpha), base_key, epoch)
                 if verbose:
                     # reference-style live epoch reporting needs the weights
                     # pulled back each epoch (`_rankfm.pyx:328-336`)
@@ -678,7 +691,11 @@ class RankFM:
         known = ~(np.isnan(u) | np.isnan(i))
 
         n = len(arr)
-        n_pad = min(_next_pow2(max(n, 1)), (n + 8191) // 8192 * 8192)
+        # few, coarse pad buckets: {1024, 2048, 4096, 8192, k*8192} — each
+        # distinct padded shape is a separate jit specialization (compile
+        # time dwarfs the wasted rows on small inputs)
+        n_pad = min(max(_next_pow2(max(n, 1)), 1024),
+                    (n + 8191) // 8192 * 8192)
         u_idx = np.zeros(n_pad, dtype=np.int32)
         i_idx = np.zeros(n_pad, dtype=np.int32)
         u_idx[:n] = np.where(known, u, 0).astype(np.int32)

@@ -12,7 +12,9 @@ Design (v2.5 — windowed negatives, user-bucketed chunks):
   bias (item table) or the constant 1 (user table), so the FM utility is a
   single 128-lane dot (see `extend_tables`);
 * WARP negative sampling is restricted to ONE random contiguous block of
-  ``BLK`` items (the "window") per batch. Within the window the reference's
+  ``BLK`` items (the "window") PER CHUNK, drawn with probability
+  proportional to each block's real item count (so negatives stay uniform
+  over the catalog). Within the window the reference's
   sequential rejection loop (`/root/reference/rankfm/_rankfm.pyx:244-270`)
   is reformulated exactly: draw ``sampled ~ 1 + Geometric(p)`` with
   ``p = |violators| / |non-members|`` estimated on the window; if
@@ -108,10 +110,9 @@ def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
     Returns ``'f32'`` (tables fit in f32), ``'bf16'`` (only the
     stochastically-rounded bf16 tables fit — validated at identical
     throughput/quality), or ``None`` (ineligible). Besides the VMEM budget,
-    the catalog is capped at 8 window blocks — the kernel rotates up to 4
-    negative windows per batch (validated at metric parity through NBLK=8);
-    beyond that the XLA window/candidate steps take over
-    (see `RankFM.fit_partial`).
+    the catalog is capped at 8 window blocks — each chunk draws its own
+    negative window (validated at metric parity through NBLK=8); beyond
+    that the XLA candidate step takes over (see `RankFM.fit_partial`).
     """
     if x_uf_any or x_if_any or factors > LANES - 2:
         return None
@@ -226,23 +227,30 @@ def extract_tables(tab_u, tab_i, num_users, num_items, factors):
 
 def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
     """Fit-time epoch layout: pack the RAW interaction columns into int32
-    ``[u, i, bits(sw), bits(valid)]`` records GROUPED by user block, with
-    each block's run padded to whole chunks (and the tail to whole batches)
-    by invalid guard records.
+    ``[u, i, bits(sw), bits(valid)]`` records GROUPED by (user block, item
+    block), with each group's run padded to whole chunks (and the tail to
+    whole batches) by invalid guard records.
 
-    Returns ``(rec [n_pad, 4], group [n_pad], ublk [nb, nT])`` where
-    ``group`` is each slot's user block (tail guards get block NBU so they
-    sort last) and ``ublk`` is the STATIC chunk -> user-block assignment.
+    Returns ``(rec [n_pad, 4], group [n_pad], chunkids [nb, nT],
+    ublk [nb, nT], iblk [nb, nT])`` where ``group`` is each slot's (user
+    block, item block) pair (tail guards get a group past the last so they
+    sort last), ``chunkids`` is the interleaved chunk visit order (a
+    permutation of rec's chunk blocks), and ``ublk``/``iblk`` are the
+    STATIC block assignments of the chunk at each VISIT position.
 
+    Two-level bucketing makes the kernel's per-chunk cost INDEPENDENT of
+    catalog size: the positive one-hot contracts over one BLK item block
+    (not I_pad) and the item-table update touches only that block's slice.
     Per-epoch randomization then needs only ONE segmented-shuffle sort —
     ``lax.sort((group, random, *record_cols), num_keys=2)`` — because rows
-    may mix freely WITHIN their user block without breaking the kernel's
-    chunk-purity invariant. This kills the per-epoch re-bucketing (a sort +
-    an [n_pad]-row gather) the previous design paid, and pads ~NBU*chunk
-    rows per FIT instead of per BATCH.
+    may mix freely WITHIN their group without breaking chunk purity. Guard
+    padding is ~NBU*NBLK*chunk rows once per FIT.
     """
     n = len(u)
     NBU = num_user_blocks(num_users)
+    BLK = block_size(num_items)
+    NBI = item_pad(num_items) // BLK
+    NG = NBU * NBI
     nT = batch_size // chunk
     assert nT * chunk == batch_size
     u = np.asarray(u, dtype=np.int32)
@@ -253,43 +261,59 @@ def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
     else:
         assert user_block(num_users) == UBLK
         ubid = (u >> 10).astype(np.int32)
-    order = np.argsort(ubid, kind="stable")
-    ub_s = ubid[order]
-    cnt = np.bincount(ub_s, minlength=NBU)
+    gid = ubid * NBI + (i // BLK).astype(np.int32)
+    order = np.argsort(gid, kind="stable")
+    g_s = gid[order]
+    cnt = np.bincount(g_s, minlength=NG)
     pad_cnt = (cnt + chunk - 1) // chunk * chunk
     nC = int(pad_cnt.sum()) // chunk
     nC_pad = (nC + nT - 1) // nT * nT
     n_pad = nC_pad * chunk
 
     guard_u = user_pad(num_users) - 1
-    guard_i = num_items if num_items < item_pad(num_items) else 0
     rec = np.empty((n_pad, 4), dtype=np.int32)
     rec[:, 0] = guard_u
-    rec[:, 1] = guard_i
+    rec[:, 1] = -1         # never matches a one-hot column
     rec[:, 2] = 0          # bits of 0.0f
     rec[:, 3] = 0          # invalid
     src_start = np.cumsum(cnt) - cnt
     dst_start = np.cumsum(pad_cnt) - pad_cnt
     dst = (np.arange(n, dtype=np.int64)
-           - src_start[ub_s] + dst_start[ub_s])
+           - src_start[g_s] + dst_start[g_s])
     rec[dst, 0] = u[order]
     rec[dst, 1] = i[order]
     rec[dst, 2] = sw[order].view(np.int32)
     rec[dst, 3] = np.full(n, 1.0, np.float32).view(np.int32)
 
-    group = np.full(n_pad, NBU, dtype=np.int32)
+    group = np.full(n_pad, NG, dtype=np.int32)
     group[:int(pad_cnt.sum())] = np.repeat(
-        np.arange(NBU, dtype=np.int32), pad_cnt)
+        np.arange(NG, dtype=np.int32), pad_cnt)
+    cpg = pad_cnt // chunk
+    gid_c = np.repeat(np.arange(NG, dtype=np.int32), cpg)        # [nC]
+    rank_c = np.arange(nC, dtype=np.int32) - np.repeat(
+        np.cumsum(cpg) - cpg, cpg).astype(np.int32)
+    # chunk INTERLEAVE: processing the group-contiguous layout in order
+    # would train on block-sorted data (consecutive chunks hammering one
+    # user/item block — a classic SGD quality killer). Order chunks by
+    # (rank within group, group) so the scan cycles through all groups;
+    # the kernel reads chunks through this permutation via a scalar-
+    # prefetch index map, so no rows ever move.
+    perm = np.full(nC_pad, nC_pad - 1, dtype=np.int32)
+    perm[:nC] = np.lexsort((gid_c, rank_c)).astype(np.int32)
     ublk = np.zeros(nC_pad, dtype=np.int32)
-    ublk[:nC] = np.repeat(np.arange(NBU, dtype=np.int32), pad_cnt // chunk)
-    return rec, group, ublk.reshape(nC_pad // nT, nT)
+    iblk = np.zeros(nC_pad, dtype=np.int32)
+    ublk[:nC] = (gid_c // NBI)[perm[:nC]]
+    iblk[:nC] = (gid_c % NBI)[perm[:nC]]
+    nb = nC_pad // nT
+    return (rec, group, perm.reshape(nb, nT), ublk.reshape(nb, nT),
+            iblk.reshape(nb, nT))
 
 
-def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
-            seed_ref, eta_ref, dreg_ref,
+def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
+            vu_in, vi_in, seed_ref, eta_ref, dreg_ref,
             vu_out, vi_out, ll_out,
             tab_u, tab_i, win_scratch, ll_acc, copy_sem,
-            *, U_pad, UB, I_pad, F, M, C, BLK, G, num_items, TBF16):
+            *, U_pad, UB, I_pad, F, M, C, BLK, NW, num_items, TBF16):
     LW = BLK // BITS_PER_LANE
     lg_lw = LW.bit_length() - 1
     t = pl.program_id(0)
@@ -314,25 +338,33 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     valid = pltpu.bitcast(rec_ref[:, 3:4], jnp.float32)  # [C,1] 0.0/1.0
     eta = eta_ref[0]
     dreg = dreg_ref[0]                               # eta * 2 * alpha
-    g = jax.lax.rem(t, G)                            # this chunk's window
-    blk = blk_ref[g]
-    boff = blk * BLK
     ubase = ublk_ref[t] * UB                         # user block (per chunk)
-    # the window's packed membership columns for this chunk's user block:
-    # one small sliced DMA from the FULL per-fit lane-padded pack
-    # ([NBLK*U_pad, 128], see `pack_win_cols`; block-major so the slice is
-    # one CONTIGUOUS sublane span — a [U_pad, NBLK*128] layout makes this
-    # DMA row-strided and measurably slower). Nothing item-windowed is
-    # built per batch in XLA.
-    wdma = pltpu.make_async_copy(
-        wincols_ref.at[pl.ds(blk * U_pad + ubase, UB), :],
-        win_scratch, copy_sem.at[0])
-    wdma.start()
-    wdma.wait()
+    ibase = iblk_ref[t] * BLK                        # positive-item block
+    # NW negative windows per chunk, each drawn with probability
+    # proportional to its real item count so negatives stay exactly
+    # catalog-uniform (see make_fused_batch_fn for why NW == 1).
+    blks = [blk_ref[t, w] for w in range(NW)]
+    boffs = [b * BLK for b in blks]
+    # each window's packed membership columns for this chunk's user block:
+    # small sliced DMAs from the FULL per-fit lane-padded pack
+    # ([NBLK*U_pad, 128], see `pack_win_cols`; block-major so every slice
+    # is one CONTIGUOUS sublane span). Nothing item-windowed is built per
+    # batch in XLA.
+    wdmas = [pltpu.make_async_copy(
+        wincols_ref.at[pl.ds(blks[w] * U_pad + ubase, UB), :],
+        win_scratch.at[:, pl.ds(w * LANES, LANES)], copy_sem.at[w])
+        for w in range(NW)]
+    for c in wdmas:
+        c.start()
+    for c in wdmas:
+        c.wait()
 
-    tab_ib = tab_i[:] if TBF16 else tab_i[:].astype(jnp.bfloat16)
-    twr = tab_i[pl.ds(boff, BLK), :]
-    tw = twr if TBF16 else twr.astype(jnp.bfloat16)        # [BLK,128] window
+    # [NW*BLK, 128] window rows (concat of the NW table slices)
+    tws = [tab_i[pl.ds(b, BLK), :] for b in boffs]
+    tw = jnp.concatenate(tws, axis=0)
+    if not TBF16:
+        tw = tw.astype(jnp.bfloat16)
+    W2 = NW * BLK
 
     # ---- one-hot gathers (MXU). The fit-time layout buckets every chunk's
     # rows into ONE user block (see `make_records_grouped`), so the user
@@ -345,36 +377,47 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     u_rows = jnp.dot(oh_u, tur if TBF16 else tur.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)          # [C,128]
     # window membership words for the chunk's users, via the SAME one-hot —
-    # replaces a [B_pad, LW] XLA row gather per batch. The MXU runs bf16
-    # passes, so the 16-bit words go through as two EXACT 8-bit planes
-    # (0xFFFF in one bf16 pass would round to 65536 and corrupt every bit)
-    winblk = win_scratch[:, :LW]                                  # [UB,LW]
+    # all NW windows in one pair of matmuls. The MXU runs bf16 passes, so
+    # the 16-bit words go through as two EXACT 8-bit planes (0xFFFF in one
+    # bf16 pass would round to 65536 and corrupt every bit)
+    winblk = jnp.concatenate(
+        [win_scratch[:, w * LANES:w * LANES + LW] for w in range(NW)],
+        axis=1)                                                   # [UB,NW*LW]
     mlo = jnp.dot(oh_u, (winblk & 0xFF).astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
     mhi = jnp.dot(oh_u, ((winblk >> 8) & 0xFF).astype(jnp.bfloat16),
                   preferred_element_type=jnp.float32)
-    mask_rows = (mlo + 256.0 * mhi).astype(jnp.int32)             # [C,LW]
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, I_pad), 1)
-    if num_items < I_pad:
-        oh_i = (i == cols_i).astype(jnp.bfloat16)
-    else:
-        # no item guard row exists: keep pad rows out of the counts
-        oh_i = ((i == cols_i).astype(jnp.float32) * valid).astype(jnp.bfloat16)
-    i_rows = jnp.dot(oh_i, tab_ib, preferred_element_type=jnp.float32)
+    mask_rows = (mlo + 256.0 * mhi).astype(jnp.int32)             # [C,NW*LW]
+    # positives are bucketed into THIS chunk's item block (two-level layout,
+    # `make_records_grouped`): the one-hot contracts over BLK rows, not
+    # I_pad — per-chunk cost is catalog-size independent. Guard rows carry
+    # i = -1 and can never match a column.
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1) + ibase
+    oh_i = (i == cols_i).astype(jnp.bfloat16)                     # [C,BLK]
+    tpr = tab_i[pl.ds(ibase, BLK), :]
+    tp = tpr if TBF16 else tpr.astype(jnp.bfloat16)
+    i_rows = jnp.dot(oh_i, tp, preferred_element_type=jnp.float32)
     ut_ui = jnp.sum(u_rows * i_rows, axis=1, keepdims=True)       # [C,1]
 
-    # ---- score the window; pairwise utility over the window ----
+    # ---- score the windows; pairwise utility over all window slots ----
     all_w = jax.lax.dot_general(
         u_rows.astype(jnp.bfloat16), tw,
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [C,BLK]
-    pw = ut_ui - all_w                                                 # [C,BLK]
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [C,W2]
+    pw = ut_ui - all_w                                                 # [C,W2]
 
-    # ---- window membership from packed bits (int ops only) ----
-    v = pltpu.repeat(mask_rows, BITS_PER_LANE, axis=1)                 # [C,BLK]
-    col = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1)
-    nonmem = ((v >> (col >> lg_lw)) & 1) == 0                          # [C,BLK]
+    # ---- window membership from packed bits (int ops only; the blocked
+    # 16-bit layout tiles per WINDOW, so extract each window separately) ----
+    col1 = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1)
+    nonmem = jnp.concatenate([
+        ((pltpu.repeat(mask_rows[:, w * LW:(w + 1) * LW],
+                       BITS_PER_LANE, axis=1)
+          >> (col1 >> lg_lw)) & 1) == 0
+        for w in range(NW)], axis=1)                                   # [C,W2]
+    # NOTE on window collisions (same block drawn twice): items then hold
+    # two slots AND n_nonmem doubles — the per-item draw probability stays
+    # uniform over the sampled multiset, so no correction is needed.
 
-    u01 = (pltpu.bitcast(pltpu.prng_random_bits((C, BLK)), jnp.int32)
+    u01 = (pltpu.bitcast(pltpu.prng_random_bits((C, W2)), jnp.int32)
            .astype(jnp.float32) * (2.0 ** -32) + 0.5)                  # U[0,1)
 
     if M == 1:
@@ -383,7 +426,7 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
         mult_c = math.log(max(num_items - 1, 1)) / log_I
         mult = jnp.full((C, 1), mult_c, jnp.float32)
     else:
-        viol = (pw < MARGIN) & nonmem                                  # [C,BLK]
+        viol = (pw < MARGIN) & nonmem                                  # [C,W2]
         violf = viol.astype(jnp.float32)
         nonmemf = nonmem.astype(jnp.float32)
         nv = jnp.sum(violf, axis=1, keepdims=True)                     # [C,1]
@@ -431,17 +474,15 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     d = valid * has_j * sw * mult * jax.nn.sigmoid(-pw_sel)            # [C,1]
     ll_acc[0] += jnp.sum(valid * has_j * jax.nn.log_sigmoid(pw_sel))
 
-    # ---- gradient rows + one-hot scatter-adds (MXU) ----
-    g_u = d * (i_rows - j_rows)           # [C,128]; col F fixed below
-    g_ip = d * u_rows                     # [C,128]; col F = d = bias grad
-
-    ones_c = jnp.ones((C, 1), jnp.bfloat16)
-    count_u = jax.lax.dot_general(oh_u, ones_c, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # [UB,1]
-    count_i = jax.lax.dot_general(oh_i, ones_c, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # [I_pad,1]
-    count_j = jax.lax.dot_general(oh_jb, ones_c, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)  # [BLK,1]
+    # ---- gradient rows + one-hot scatter-adds (MXU). Per-row touch
+    # counts ride in SPARE gradient columns (col F of the user rows is
+    # re-set to 1 after the update; col F+1 of the item rows is zeroed),
+    # so no separate count matmul passes over the one-hots are needed ----
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 1)
+    g_u = d * (i_rows - j_rows)
+    g_u = jnp.where(lane == F, valid, g_u)       # col F carries touch count
+    g_ip = d * u_rows                            # col F = d = bias grad
+    g_ip = jnp.where(lane == F + 1, valid, g_ip)
 
     def _store_tab(val):
         if not TBF16:
@@ -452,25 +493,34 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
     scat_u = jax.lax.dot_general(oh_u, g_u.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+    count_u = scat_u[:, F:F + 1]                                  # [UB,1]
     tub = tab_u[pl.ds(ubase, UB), :].astype(jnp.float32)
     tab_u[pl.ds(ubase, UB), :] = _store_tab(
         tub * (1.0 - dreg * count_u) + eta * scat_u)
     tab_u[pl.ds(ubase, UB), F:F + 1] = jnp.ones(
         (UB, 1), jnp.bfloat16 if TBF16 else jnp.float32)
 
+    zero_col = jnp.zeros((BLK, 1), jnp.bfloat16 if TBF16 else jnp.float32)
     scat_i = jax.lax.dot_general(oh_i, g_ip.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-    tab_i[:] = _store_tab(
-        tab_i[:].astype(jnp.float32) * (1.0 - dreg * count_i) + eta * scat_i)
+    count_i = scat_i[:, F + 1:F + 2]                              # [BLK,1]
+    tpf = tab_i[pl.ds(ibase, BLK), :].astype(jnp.float32)
+    tab_i[pl.ds(ibase, BLK), :] = _store_tab(
+        tpf * (1.0 - dreg * count_i) + eta * scat_i)
+    tab_i[pl.ds(ibase, BLK), F + 1:F + 2] = zero_col
 
-    scat_j = jax.lax.dot_general(oh_jb, (-g_ip).astype(jnp.bfloat16),
+    g_j = jnp.where(lane == F + 1, valid * has_j, -g_ip)
+    scat_j = jax.lax.dot_general(oh_jb, g_j.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)   # [BLK,128]
-    twf = tab_i[pl.ds(boff, BLK), :].astype(jnp.float32)
-    tab_i[pl.ds(boff, BLK), :] = _store_tab(
-        twf * (1.0 - dreg * count_j) + eta * scat_j
-    )
+                                 preferred_element_type=jnp.float32)   # [W2,128]
+    for w in range(NW):
+        sj = scat_j[w * BLK:(w + 1) * BLK, :]
+        count_j = sj[:, F + 1:F + 2]
+        twf = tab_i[pl.ds(boffs[w], BLK), :].astype(jnp.float32)
+        tab_i[pl.ds(boffs[w], BLK), :] = _store_tab(
+            twf * (1.0 - dreg * count_j) + eta * sj)
+        tab_i[pl.ds(boffs[w], BLK), F + 1:F + 2] = zero_col
 
     @pl.when(t == nT - 1)
     def _store():
@@ -485,18 +535,25 @@ def _kernel(rec_ref, wincols_ref, blk_ref, ublk_ref, vu_in, vi_in,
 
 @lru_cache(maxsize=16)
 def make_fused_batch_fn(num_users, num_items, factors, max_samples,
-                        batch_size, chunk=128, table_bf16=False, windows=1):
-    """Build ``fn(tab_u, tab_i, rec, win_cols, blk, ublk, seed, eta, dreg)
-    -> (tab_u, tab_i, ll)`` running one minibatch fully fused.
+                        batch_size, chunk=128, table_bf16=False):
+    """Build ``fn(tab_u, tab_i, rec, win_cols, chunkids, blk, ublk, iblk,
+    seed, eta, dreg) -> (tab_u, tab_i, ll)`` running one minibatch fully
+    fused.
 
-    ``rec [B,4] int32`` bucketed interaction records (`make_records_grouped`
-    + the per-epoch segmented shuffle),
-    ``win_cols [NBLK, U_pad, 128] int32`` EVERY block's packed membership
+    ``rec [n_pad,4] int32`` the WHOLE epoch's bucketed records
+    (`make_records_grouped` + the per-epoch segmented shuffle); grid step t
+    reads chunk ``chunkids[t]`` via a scalar-prefetch index map,
+    ``win_cols [NBLK*U_pad, 128] int32`` EVERY block's packed membership
     columns for ALL users, block-major and lane-padded (`pack_win_cols`,
     built once per fit, HBM-resident; the kernel DMAs the [user-block x
     window-block] slice it needs and gathers rows via the user one-hot),
-    ``blk [G] int32`` the batch's window block ids (chunks round-robin),
-    ``ublk [nT] int32`` each chunk's user block id.
+    ``chunkids [nT] int32`` this batch's chunk visit order (fit-time
+    interleave so consecutive chunks cycle user/item blocks),
+    ``blk [nT] int32`` each chunk's negative-window block id (PER-CHUNK
+    windows: with one window per batch, large batches would starve the
+    epoch of negative diversity — measured as a hard quality ceiling),
+    ``ublk [nT] int32`` the visited chunks' user block ids,
+    ``iblk [nT] int32`` the visited chunks' positive-item block ids.
     """
     U_pad = user_pad(num_users)
     UB = user_block(num_users)
@@ -510,19 +567,30 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     assert batch_size % C == 0
     nT = batch_size // C
 
+    # NOTE: NW > 1 (multiple windows per chunk) is implemented but OFF:
+    # size-weighted window draws + uniform slot selection over the UNION
+    # under-sample items of partial blocks (measured as a quality
+    # regression); an exact per-slot importance correction costs more VPU
+    # passes than the diversity gains back. One window per chunk with
+    # size-weighted draws keeps negatives exactly catalog-uniform.
+    NW = 1
     tdt = jnp.bfloat16 if table_bf16 else jnp.float32
     kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
-                   M=max_samples, C=C, BLK=BLK, G=windows,
+                   M=max_samples, C=C, BLK=BLK, NW=NW,
                    num_items=num_items, TBF16=table_bf16)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
+        num_scalar_prefetch=1,   # chunkids: the interleaved chunk visit order
         grid=(nT,),
         in_specs=[
-            pl.BlockSpec((C, 4), lambda t: (t, 0), memory_space=pltpu.VMEM),   # rec
+            # the WHOLE epoch's record array; grid step t reads chunk
+            # chunkids[t] — the fit-time interleave costs zero data movement
+            pl.BlockSpec((C, 4), lambda t, cid: (cid[t], 0),
+                         memory_space=pltpu.VMEM),                             # rec
             pl.BlockSpec(memory_space=pltpu.HBM),                              # win cols
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # ublk
+            pl.BlockSpec(memory_space=pltpu.SMEM),                             # iblk
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vu_in
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vi_in
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # seed
@@ -532,12 +600,13 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vu_out
             pl.BlockSpec(memory_space=pltpu.ANY),                              # vi_out
-            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),   # ll
+            pl.BlockSpec((1, 1), lambda t, cid: (0, 0),
+                         memory_space=pltpu.SMEM),                             # ll
         ],
         scratch_shapes=[
             pltpu.VMEM((U_pad, LANES), tdt),
             pltpu.VMEM((I_pad, LANES), tdt),
-            pltpu.VMEM((UB, LANES), jnp.int32),
+            pltpu.VMEM((UB, NW * LANES), jnp.int32),
             pltpu.SMEM((1,), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -551,15 +620,16 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
             jax.ShapeDtypeStruct((I_pad, LANES), tdt),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
-        input_output_aliases={4: 0, 5: 1},
+        input_output_aliases={6: 0, 7: 1},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         ),
     )
 
-    def fn(tab_u, tab_i, rec, win_cols, blk, ublk, seed, eta, dreg):
-        tu, ti, ll = call(rec, win_cols, blk, ublk, tab_u, tab_i,
-                          seed, eta, dreg)
+    def fn(tab_u, tab_i, rec, win_cols, chunkids, blk, ublk, iblk,
+           seed, eta, dreg):
+        tu, ti, ll = call(chunkids, rec, win_cols, blk, ublk, iblk,
+                          tab_u, tab_i, seed, eta, dreg)
         return tu, ti, ll[0, 0]
 
     return fn
@@ -586,50 +656,60 @@ def pack_win_cols(packed_hist, num_users, num_items):
     return _pad_win_cols(packed_hist, user_pad(num_users), NBLK, LW)
 
 
-def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk, windows=1):
+def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
     """Shared single-epoch logic: ONE segmented-shuffle sort (the layout is
     fixed at fit time, `make_records_grouped`) + a batch-order rotation +
     a scan whose body is ONLY the fused Pallas call."""
+    BLK = block_size(num_items)
     I_pad = item_pad(num_items)
-    NBLK = I_pad // block_size(num_items)
+    NBLK = I_pad // BLK
+    NW = 1
     nT = batch_size // chunk
-    G = windows
+    # negatives must be uniform over the CATALOG: draw each window block
+    # with probability proportional to its REAL item count (the tail block
+    # is partial — a uniform block draw would oversample its items)
+    real_cum = np.minimum(np.arange(1, NBLK + 1) * BLK, num_items)
 
-    def one_epoch(tab_u, tab_i, win_cols, rec, group, ublk, eta, alpha,
-                  key, epoch):
+    def one_epoch(tab_u, tab_i, win_cols, rec, group, cids, ublk, iblk, eta,
+                  alpha, key, epoch):
         n_pad = rec.shape[0]
         nb = n_pad // batch_size
         key = jax.random.fold_in(key, epoch)
         kperm, ksamp, kblk, krot = jax.random.split(key, 4)
         # segmented shuffle: one stable 2-key payload sort re-randomizes row
-        # order WITHIN each user block (block runs and chunk->block
-        # assignment are static - no gathers, no per-batch relayout)
+        # order WITHIN each (user block, item block) group (group runs and
+        # chunk->block assignments are static - no gathers, no per-batch
+        # relayout)
         rnd = jax.random.bits(kperm, (n_pad,), jnp.uint32)
         _, _, c0, c1, c2, c3 = jax.lax.sort(
             (group, rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]),
             num_keys=2)
-        rec_b = jnp.stack([c0, c1, c2, c3], axis=1).reshape(
-            nb, batch_size, 4)
-        # rotate the batch processing order so the (static) block visit
+        rec_s = jnp.stack([c0, c1, c2, c3], axis=1)     # [n_pad, 4]
+        # rotate the batch processing order so the (static) chunk visit
         # order varies across epochs
         r = jax.random.randint(krot, (), 0, nb)
-        rec_b = jnp.roll(rec_b, r, axis=0)
+        cids_b = jnp.roll(cids, r, axis=0)
         ublk_b = jnp.roll(ublk, r, axis=0)
+        iblk_b = jnp.roll(iblk, r, axis=0)
         seeds = jax.random.randint(ksamp, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
-        blks = jax.random.randint(kblk, (nb, G), 0, NBLK, dtype=jnp.int32)
+        draw = jax.random.uniform(kblk, (nb, nT, NW),
+                                  maxval=float(num_items))
+        blks = jnp.searchsorted(
+            jnp.asarray(real_cum, jnp.float32), draw, side="right"
+        ).astype(jnp.int32)
         eta_arr = jnp.reshape(jnp.asarray(eta, jnp.float32), (1,))
         dreg_arr = eta_arr * (2.0 * jnp.asarray(alpha, jnp.float32))
 
         def body(carry, xs):
             tu, ti = carry
-            rec_, seed_, blk_, ublk_ = xs
-            tu, ti, ll = batch_fn(tu, ti, rec_, win_cols, blk_, ublk_,
-                                  jnp.reshape(seed_, (1,)),
+            cid_, seed_, blk_, ublk_, iblk_ = xs
+            tu, ti, ll = batch_fn(tu, ti, rec_s, win_cols, cid_, blk_,
+                                  ublk_, iblk_, jnp.reshape(seed_, (1,)),
                                   eta_arr, dreg_arr)
             return (tu, ti), ll
 
         (tab_u, tab_i), lls = jax.lax.scan(
-            body, (tab_u, tab_i), (rec_b, seeds, blks, ublk_b))
+            body, (tab_u, tab_i), (cids_b, seeds, blks, ublk_b, iblk_b))
         return tab_u, tab_i, jnp.sum(lls)
 
     return one_epoch
@@ -643,27 +723,24 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     `make_records_grouped`), then a `lax.scan` whose body is only the
     Pallas call.
 
-    Signature: ``epoch_fn(tab_u, tab_i, win_cols, rec, group, ublk, eta,
-    alpha, key, epoch) -> (tab_u, tab_i, ll)`` with ``rec/group/ublk`` from
-    `make_records_grouped` and ``win_cols`` from `pack_win_cols` (both built
-    once per fit); the per-epoch PRNG stream is ``fold_in(key, epoch)``
-    computed ON DEVICE so the caller passes the same base key every epoch
-    (no per-epoch host-side PRNG dispatches).
+    Signature: ``epoch_fn(tab_u, tab_i, win_cols, rec, group, chunkids,
+    ublk, iblk, eta, alpha, key, epoch) -> (tab_u, tab_i, ll)`` with
+    ``rec/group/chunkids/ublk/iblk`` from `make_records_grouped` and
+    ``win_cols`` from `pack_win_cols` (all built once per fit); the
+    per-epoch PRNG stream is ``fold_in(key, epoch)`` computed ON DEVICE so
+    the caller passes the same base key every epoch (no per-epoch
+    host-side PRNG dispatches).
     """
-    nblk = item_pad(num_items) // block_size(num_items)
-    # one window per batch is at metric parity through 4 blocks (dense);
-    # beyond that rotate 4 windows for negative diversity
-    windows = 1 if nblk <= 4 else min(4, nblk)
     batch_fn = make_fused_batch_fn(
         num_users, num_items, factors, max_samples, batch_size, chunk,
-        table_bf16=table_bf16, windows=windows)
-    one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
-                            windows=windows)
+        table_bf16=table_bf16)
+    one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size,
+                            chunk)
 
-    def epoch_fn(tab_u, tab_i, win_cols, rec, group, ublk, eta, alpha,
-                 key, epoch):
-        return one_epoch(tab_u, tab_i, win_cols, rec, group, ublk,
-                         jnp.float32(eta), jnp.float32(alpha), key,
+    def epoch_fn(tab_u, tab_i, win_cols, rec, group, chunkids, ublk, iblk,
+                 eta, alpha, key, epoch):
+        return one_epoch(tab_u, tab_i, win_cols, rec, group, chunkids, ublk,
+                         iblk, jnp.float32(eta), jnp.float32(alpha), key,
                          jnp.int32(epoch))
 
     donate_argnums = (0, 1) if donate else ()

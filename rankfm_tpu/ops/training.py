@@ -333,6 +333,8 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
     from rankfm_tpu.ops.fused import (
         BITS_PER_LANE, block_size, item_pad)
 
+    import numpy as _np
+
     M = max_samples
     log_I = math.log(num_items) if num_items > 1 else 1.0
     BLK = block_size(num_items)
@@ -340,6 +342,10 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
     LW = BLK // BITS_PER_LANE
     NBLK = I_pad // BLK
     lg_lw = LW.bit_length() - 1
+    # negatives must be uniform over the CATALOG: draw each window block
+    # with probability proportional to its REAL item count (the tail block
+    # is partial — a uniform block draw would oversample its items)
+    real_cum = _np.minimum(_np.arange(1, NBLK + 1) * BLK, num_items)
 
     def step(w, x_uf, x_if, packed_hist, u, i, sw, valid, eta, alpha, beta, key):
         B = u.shape[0]
@@ -351,7 +357,10 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
             G *= 2
         Bg = B // G
         kblk, kcand, kgeo = jax.random.split(key, 3)
-        blkg = jax.random.randint(kblk, (G,), 0, NBLK)
+        blkg = jnp.searchsorted(
+            jnp.asarray(real_cum, jnp.float32),
+            jax.random.uniform(kblk, (G,), maxval=float(num_items)),
+            side="right").astype(jnp.int32)
 
         # ---- window membership bits (blocked 16-bit pack, tile layout) ----
         u3 = u.reshape(G, Bg)

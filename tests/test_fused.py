@@ -116,14 +116,13 @@ def test_fused_batch_trains():
         fused.user_pad(U), 128)
     n = len(pairs)
     epoch = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128, donate=False)
-    rec, group, ublk = fused.make_records_grouped(
-        pairs[:, 0], pairs[:, 1], np.ones(n, np.float32), U, I, B, 128)
-    rec, group, ublk = map(jnp.asarray, (rec, group, ublk))
+    layout = tuple(map(jnp.asarray, fused.make_records_grouped(
+        pairs[:, 0], pairs[:, 1], np.ones(n, np.float32), U, I, B, 128)))
     win_cols = fused.pack_win_cols(packed, U, I)
     lls = []
     for e in range(10):
-        tu, ti, ll = epoch(tu, ti, win_cols, rec, group, ublk, 0.1, 0.01,
-                           jax.random.PRNGKey(0), e)
+        tu, ti, ll = epoch(tu, ti, win_cols, *layout,
+                           0.1, 0.01, jax.random.PRNGKey(0), e)
         lls.append(float(ll))
     assert np.isfinite(lls).all()
     assert lls[-1] > lls[0]  # log-likelihood improves
@@ -148,12 +147,11 @@ def test_full_history_users_get_no_updates():
         fused.user_pad(U), fused.item_pad(I))
     u = rng.integers(0, U, B).astype(np.int32)
     i = rng.integers(0, I, B).astype(np.int32)
-    rec, group, ublk = fused.make_records_grouped(
-        u, i, np.ones(B, np.float32), U, I, B, 128)
-    rec, group, ublk = map(jnp.asarray, (rec, group, ublk))
+    layout = tuple(map(jnp.asarray, fused.make_records_grouped(
+        u, i, np.ones(B, np.float32), U, I, B, 128)))
     ep = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128, donate=False)
     win_cols = fused.pack_win_cols(packed, U, I)
-    _, _, ll = ep(tu, ti, win_cols, rec, group, ublk, 0.1, 0.01,
+    _, _, ll = ep(tu, ti, win_cols, *layout, 0.1, 0.01,
                   jax.random.PRNGKey(0), 0)
     assert float(ll) == 0.0
 
@@ -172,21 +170,34 @@ def test_grouped_records_layout_invariants():
     u = rng.integers(0, U, n).astype(np.int32)
     i = rng.integers(0, I, n).astype(np.int32)
     sw = rng.random(n).astype(np.float32) + 0.5
-    rec, group, ublk = fused.make_records_grouped(u, i, sw, U, I, B, C)
+    rec, group, cids, ublk, iblk = fused.make_records_grouped(
+        u, i, sw, U, I, B, C)
     n_pad = rec.shape[0]
     assert n_pad % B == 0
     nb, nT = ublk.shape
     assert nb == n_pad // B and nT == B // C
+    assert iblk.shape == ublk.shape == cids.shape
+    BLK = fused.block_size(I)
+    # the interleave visits every chunk that holds real rows exactly once
+    has_real = (rec[:, 3].view(np.float32) == 1.0).reshape(-1, C).any(axis=1)
+    visited = np.bincount(cids.reshape(-1), minlength=n_pad // C)
+    assert (visited[has_real] == 1).all()
 
     def check(rec_flat):
         valid = rec_flat[:, 3].view(np.float32) == 1.0
-        # chunk purity: valid rows' user block == the chunk's static block
-        ub_flat = ublk.reshape(-1)
-        for t in range(n_pad // C):
-            seg = rec_flat[t * C:(t + 1) * C]
-            segv = seg[valid[t * C:(t + 1) * C]]
+        # chunk purity: at every VISIT position, the visited chunk's valid
+        # rows match that position's static user/item block assignment
+        cid_f = cids.reshape(-1)
+        ub_f, ib_f = ublk.reshape(-1), iblk.reshape(-1)
+        for p in range(n_pad // C):
+            c = cid_f[p]
+            seg = rec_flat[c * C:(c + 1) * C]
+            segv = seg[valid[c * C:(c + 1) * C]]
             if len(segv):
-                assert ((segv[:, 0] >> 10) == ub_flat[t]).all(), t
+                assert ((segv[:, 0] >> 10) == ub_f[p]).all(), p
+                assert ((segv[:, 1] // BLK) == ib_f[p]).all(), p
+        # guard rows can never match a positive one-hot column
+        assert (rec_flat[~valid][:, 1] == -1).all()
         # conservation incl. sample weights
         got = rec_flat[valid][:, :3]
         want = np.stack([u, i, sw.view(np.int32)], 1)

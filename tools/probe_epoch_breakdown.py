@@ -33,12 +33,14 @@ packed = fused.pack_history_device(offsets, pairs[:, 1].astype(np.int32), U, I)
 win_cols = jax.block_until_ready(fused.pack_win_cols(packed, U, I))
 
 t0 = time.time()
-rec_np, group_np, ublk_np = fused.make_records_grouped(
+rec_np, group_np, cids_np, ublk_np, iblk_np = fused.make_records_grouped(
     u, i, np.ones(N, np.float32), U, I, BS, CHUNK)
 host_layout_s = time.time() - t0
 rec = jnp.asarray(rec_np)
 group = jnp.asarray(group_np)
+cids = jnp.asarray(cids_np)
 ublk = jnp.asarray(ublk_np)
+iblk = jnp.asarray(iblk_np)
 n_pad = rec.shape[0]
 nb, nT = ublk.shape
 print(f"host layout: {host_layout_s*1000:.0f} ms once per fit; "
@@ -65,8 +67,8 @@ def timeit(fn, *args, reps=5):
 
 # ---- full epoch ----
 ep = fused.make_fused_epoch_fn(U, I, F, M, BS, chunk=CHUNK, donate=False)
-c, t, _ = timeit(lambda: ep(tu, ti, win_cols, rec, group, ublk,
-                            0.1, 0.01, key, 0))
+c, t, _ = timeit(lambda: ep(tu, ti, win_cols, rec, group, cids, ublk,
+                            iblk, 0.1, 0.01, key, 0))
 print(f"full epoch:   compile={c:6.1f}s  best={t*1000:7.1f} ms")
 
 
@@ -76,7 +78,7 @@ def shuffle_only(rec, group, key):
     rnd = jax.random.bits(key, (n_pad,), jnp.uint32)
     _, _, c0, c1, c2, c3 = jax.lax.sort(
         (group, rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]), num_keys=2)
-    return jnp.stack([c0, c1, c2, c3], axis=1).reshape(nb, BS, 4)
+    return jnp.stack([c0, c1, c2, c3], axis=1)
 
 
 c, t, rec_b = timeit(lambda: shuffle_only(rec, group, key))
@@ -84,29 +86,30 @@ print(f"shuffle only: compile={c:6.1f}s  best={t*1000:7.1f} ms")
 
 # ---- scan only (pre-shuffled) ----
 NBLK = fused.item_pad(I) // fused.block_size(I)
-G = 1 if NBLK <= 4 else min(4, NBLK)
-batch_fn = fused.make_fused_batch_fn(U, I, F, M, BS, CHUNK, windows=G)
+
+batch_fn = fused.make_fused_batch_fn(U, I, F, M, BS, CHUNK)
 seeds = jax.random.randint(key, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
-blks = jax.random.randint(key, (nb, G), 0, NBLK, dtype=jnp.int32)
+blks = jax.random.randint(key, (nb, nT), 0, NBLK, dtype=jnp.int32)
 
 
 @jax.jit
-def scan_only(tu, ti, rec_b, ublk, seeds, blks):
+def scan_only(tu, ti, rec_s, cids, ublk, iblk, seeds, blks):
     eta = jnp.asarray([0.1], jnp.float32)
     dreg = eta * 0.02
 
     def body(carry, xs):
         tu, ti = carry
-        rec_, seed_, blk_, ublk_ = xs
-        tu, ti, ll = batch_fn(tu, ti, rec_, win_cols, blk_, ublk_,
-                              jnp.reshape(seed_, (1,)), eta, dreg)
+        cid_, seed_, blk_, ublk_, iblk_ = xs
+        tu, ti, ll = batch_fn(tu, ti, rec_s, win_cols, cid_, blk_, ublk_,
+                              iblk_, jnp.reshape(seed_, (1,)), eta, dreg)
         return (tu, ti), ll
 
-    (tu, ti), lls = jax.lax.scan(body, (tu, ti), (rec_b, seeds, blks, ublk))
+    (tu, ti), lls = jax.lax.scan(body, (tu, ti),
+                                 (cids, seeds, blks, ublk, iblk))
     return tu, ti, jnp.sum(lls)
 
 
-c, t, _ = timeit(lambda: scan_only(tu, ti, rec_b, ublk, seeds, blks))
+c, t, _ = timeit(lambda: scan_only(tu, ti, rec_b, cids, ublk, iblk, seeds, blks))
 print(f"scan only:    compile={c:6.1f}s  best={t*1000:7.1f} ms")
 n_chunks = nb * nT
 print(f"# chunks/epoch={n_chunks} us/chunk={t*1e6/n_chunks:.1f}")

@@ -18,9 +18,10 @@ tu, ti = F.extend_tables(jnp.zeros(I),
 u = rng.integers(0, U, B).astype(np.int32)
 i = rng.integers(0, I, B).astype(np.int32)
 sw = np.ones(B, np.float32)
-rec, grp, ublk = map(jnp.asarray, F.make_records_grouped(u, i, sw, U, I, B, 128))
+layout = tuple(map(jnp.asarray,
+                   F.make_records_grouped(u, i, sw, U, I, B, 128)))
 ep = F.make_fused_epoch_fn(U, I, Fc, M, B, chunk=128, donate=False)
-tu2, ti2, ll = ep(tu, ti, F.pack_win_cols(packed, U, I), rec, grp, ublk,
+tu2, ti2, ll = ep(tu, ti, F.pack_win_cols(packed, U, I), *layout,
                   0.1, 0.01, jax.random.PRNGKey(0), 0)
 print("ll =", float(ll), "(must be exactly 0.0)")
 d_u = float(jnp.abs(tu2[:U, :Fc] - tu[:U, :Fc]).max())
@@ -33,9 +34,9 @@ offsets2 = np.zeros(U + 1, np.int32); offsets2[1:] = np.cumsum([len(s) for s in 
 flat2 = np.concatenate(sets).astype(np.int32)
 packed2 = F.pack_history_device(offsets2, flat2, U, I)
 u3 = np.zeros(B, np.int32)   # all rows user 0
-rec3, grp3, ublk3 = map(jnp.asarray,
-                        F.make_records_grouped(u3, i, sw, U, I, B, 128))
-tu3, ti3, ll3 = ep(tu, ti, F.pack_win_cols(packed2, U, I), rec3, grp3, ublk3,
+layout3 = tuple(map(jnp.asarray,
+                    F.make_records_grouped(u3, i, sw, U, I, B, 128)))
+tu3, ti3, ll3 = ep(tu, ti, F.pack_win_cols(packed2, U, I), *layout3,
                    0.1, 0.01, jax.random.PRNGKey(1), 0)
 print("single-nonmember ll =", float(ll3), "(must be < 0)")
 assert float(ll3) < 0

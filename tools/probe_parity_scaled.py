@@ -40,7 +40,9 @@ def run_variant(name, loss, max_samples, use_features, use_weights, seed=11):
     m_build = evaluation.compute(model, test, k=10)
 
     t0 = time.time()
-    m_oracle = oracle_metrics(model, train, test, epochs=10)
+    m_oracle = oracle_metrics(model, train, test, epochs=10,
+                              user_features=uf, item_features=itf,
+                              sample_weight=sw)
     orc_s = time.time() - t0
 
     print(f"\n== {name} (fit {fit_s:.1f}s, oracle {orc_s:.1f}s) ==")
