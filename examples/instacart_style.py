@@ -66,10 +66,10 @@ def main():
     t0 = time.time()
     k = 10
     metrics = {
-        "hit_rate": evaluation.hit_rate(model, valid[["user_id", "product_id"]], k=k),
-        "reciprocal_rank": evaluation.reciprocal_rank(model, valid[["user_id", "product_id"]], k=k),
-        "precision": evaluation.precision(model, valid[["user_id", "product_id"]], k=k),
-        "recall": evaluation.recall(model, valid[["user_id", "product_id"]], k=k),
+        # one shared retrieval for the four reported metrics
+        **evaluation.compute(model, valid[["user_id", "product_id"]],
+                             ("hit_rate", "reciprocal_rank", "precision",
+                              "recall"), k=k),
     }
     print(f"unfiltered metrics @ {k}: "
           + " ".join(f"{m}={v:.3f}" for m, v in metrics.items())

@@ -55,11 +55,9 @@ def main():
 
     t0 = time.time()
     metrics = {
-        "hit_rate": evaluation.hit_rate(model, valid, k=10),
-        "reciprocal_rank": evaluation.reciprocal_rank(model, valid, k=10),
-        "dcg": evaluation.discounted_cumulative_gain(model, valid, k=10),
-        "precision": evaluation.precision(model, valid, k=10),
-        "recall": evaluation.recall(model, valid, k=10),
+        # one shared retrieval for all five metrics (the reference's
+        # five separate calls take 23.1 s on its hardware)
+        **evaluation.compute(model, valid, k=10),
     }
     print(f"eval wall: {time.time()-t0:.1f}s")
     for k, v in metrics.items():

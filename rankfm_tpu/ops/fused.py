@@ -591,15 +591,15 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # ublk
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # iblk
-            pl.BlockSpec(memory_space=pltpu.ANY),                              # vu_in
-            pl.BlockSpec(memory_space=pltpu.ANY),                              # vi_in
+            pl.BlockSpec(memory_space=pl.ANY),                              # vu_in
+            pl.BlockSpec(memory_space=pl.ANY),                              # vi_in
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # seed
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # eta
             pl.BlockSpec(memory_space=pltpu.SMEM),                             # dreg
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),                              # vu_out
-            pl.BlockSpec(memory_space=pltpu.ANY),                              # vi_out
+            pl.BlockSpec(memory_space=pl.ANY),                              # vu_out
+            pl.BlockSpec(memory_space=pl.ANY),                              # vi_out
             pl.BlockSpec((1, 1), lambda t, cid: (0, 0),
                          memory_space=pltpu.SMEM),                             # ll
         ],

@@ -74,7 +74,7 @@ def test_extend_extract_roundtrip():
     # utility = 128-lane dot (host-side: on TPU the default jnp matmul runs
     # reduced-precision passes, which is NOT what this layout test checks)
     s = np.asarray(tu[:U]) @ np.asarray(ti[:I]).T
-    want = np.asarray(v_u @ v_i.T + w_i[None, :])
+    want = np.asarray(v_u) @ np.asarray(v_i).T + np.asarray(w_i)[None, :]
     np.testing.assert_allclose(s, want, rtol=1e-5, atol=1e-5)
     w2, vu2, vi2 = fused.extract_tables(tu, ti, U, I, F)
     np.testing.assert_array_equal(np.asarray(w2), np.asarray(w_i))
