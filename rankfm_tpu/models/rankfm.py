@@ -560,7 +560,13 @@ class RankFM:
             if self._win_cols is None:
                 self._win_cols = fused_mod.pack_win_cols(
                     self._packed_hist, U, num_items)
+            # chunk: smaller chunks waste less guard padding when the
+            # (user block x item block) group count is large relative to n
             chunk = min(512, bs)
+            ng = (fused_mod.num_user_blocks(U)
+                  * (I_pad // fused_mod.block_size(num_items)))
+            while chunk > 128 and ng * chunk > 0.15 * max(n, 1):
+                chunk //= 2
             w = self._weights
             table_bf16 = fused_mod.TABLE_BF16 or fused_mode == 'bf16'
             tab_u, tab_i = fused_mod.extend_tables(

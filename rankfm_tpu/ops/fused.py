@@ -6,7 +6,7 @@ which the user and item tables live in VMEM scratch for the whole batch, so
 every "gather"/"scatter-add" is a one-hot bf16 matmul on the MXU and random
 HBM access is eliminated.
 
-Design (v2.5 — windowed negatives, user-bucketed chunks):
+Design (v3 — per-chunk windows, two-level fit-time bucketing):
 
 * tables are ``[*, 128]`` with factors in cols ``0..F-1``, col ``F`` = item
   bias (item table) or the constant 1 (user table), so the FM utility is a
@@ -24,19 +24,24 @@ Design (v2.5 — windowed negatives, user-bucketed chunks):
   the same statistical move the reference makes by only ever LOOKING at
   ``max_samples`` random candidates instead of the full catalog;
 * the epoch layout is fixed at FIT time so every chunk's rows share ONE
-  1024-user block (`make_records_grouped`); each epoch re-randomizes row
-  order within blocks with a single segmented-shuffle sort and the scan
-  body is just the Pallas call. The user one-hot then contracts over 1024
-  rows instead of U_pad, the user-table update touches only that block's
-  slice, and the chunk's window-membership words are gathered in-kernel
-  through the same one-hot as two exact 8-bit bf16 planes;
+  1024-user block AND one 1024-item block (`make_records_grouped`); each
+  epoch re-randomizes row order within groups with a single
+  segmented-shuffle sort, chunks are visited through a fit-time interleave
+  (scalar-prefetch index map — never block-sorted order), and the scan
+  body is just the Pallas call. The one-hots then contract over 1024 rows
+  instead of U_pad/I_pad (per-chunk cost is catalog-size independent),
+  both table updates touch only block slices, and the chunk's
+  window-membership words are gathered in-kernel through the user one-hot
+  as two exact 8-bit bf16 planes;
 * for BPR (``max_samples == 1``) the violator machinery is skipped entirely
   and ``j`` is a uniform non-member of the window — exactly the reference's
   single uniform draw (`rankfm.py:294-297`);
 * membership tests come from a 16-bit blocked bit-pack of the user history
   (`pack_history`): integer lane-variable shifts, no transcendentals;
 * per-touch L2 decay (`_rankfm.pyx:279-326`) is applied with exact per-chunk
-  touch counts (one-hot count matmuls), linearized within a chunk.
+  touch counts, linearized within a chunk; the counts ride spare columns of
+  the gradient scatter matmuls (user col F, item col F+1) so no separate
+  count passes over the one-hots exist.
 
 Eligibility: no side features (the reference's feature terms run via the XLA
 path), factors <= 126, and both extended tables fitting the VMEM budget.
@@ -103,21 +108,29 @@ def item_pad(num_items):
     return _round_up(max(num_items, 1), block_size(num_items))
 
 
+# catalogs beyond this many window blocks fall back to the XLA candidate
+# step: per-chunk cost no longer depends on catalog size (two-level
+# bucketing), so the cap is set by negative-window coverage quality and the
+# tables fitting VMEM, not by compute
+FUSED_NBLK_CAP = 64
+
+
 def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
-                     vmem_table_budget=8 * 2**20):
+                     vmem_table_budget=12 * 2**20):
     """How the fused kernel can run this configuration.
 
     Returns ``'f32'`` (tables fit in f32), ``'bf16'`` (only the
     stochastically-rounded bf16 tables fit — validated at identical
-    throughput/quality), or ``None`` (ineligible). Besides the VMEM budget,
-    the catalog is capped at 8 window blocks — each chunk draws its own
-    negative window (validated at metric parity through NBLK=8); beyond
-    that the XLA candidate step takes over (see `RankFM.fit_partial`).
+    throughput/quality), or ``None`` (ineligible). The VMEM budget leaves
+    ~4 MB of the ~16 MB/core for scratch and chunk temporaries. Beyond 8
+    window blocks each chunk rotates 4 negative windows per draw (coverage;
+    see `make_fused_batch_fn`); beyond `FUSED_NBLK_CAP` blocks the XLA
+    candidate step takes over (see `RankFM.fit_partial`).
     """
     if x_uf_any or x_if_any or factors > LANES - 2:
         return None
     i_pad = item_pad(num_items)
-    if i_pad // block_size(num_items) > 8:
+    if i_pad // block_size(num_items) > FUSED_NBLK_CAP:
         return None
     rows = _round_up(num_users, 8) + i_pad
     if rows * LANES * 4 <= vmem_table_budget:
@@ -128,7 +141,7 @@ def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
 
 
 def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
-                   vmem_table_budget=8 * 2**20):
+                   vmem_table_budget=12 * 2**20):
     """Can the fused kernel run this configuration (either table dtype)?"""
     return fused_table_mode(num_users, num_items, factors, x_uf_any,
                             x_if_any, vmem_table_budget) is not None
@@ -567,13 +580,16 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     assert batch_size % C == 0
     nT = batch_size // C
 
-    # NOTE: NW > 1 (multiple windows per chunk) is implemented but OFF:
-    # size-weighted window draws + uniform slot selection over the UNION
-    # under-sample items of partial blocks (measured as a quality
-    # regression); an exact per-slot importance correction costs more VPU
-    # passes than the diversity gains back. One window per chunk with
-    # size-weighted draws keeps negatives exactly catalog-uniform.
-    NW = 1
+    # NW windows per chunk. With size-weighted window draws and uniform
+    # slot selection over the UNION, NW > 1 skews per-item draw probability
+    # toward items of larger blocks; the skew scales with the variance of
+    # block sizes, so it is ONLY acceptable when blocks are mostly full
+    # (large NBLK, one partial tail block). Small catalogs (<= 8 blocks,
+    # where one 1024-item window already covers >= 1/8 of the catalog) use
+    # NW = 1 for exactly catalog-uniform negatives; big catalogs trade the
+    # tiny tail-block skew for 4x the negative coverage per chunk.
+    NBLK_ = I_pad // BLK
+    NW = 1 if NBLK_ <= 8 else min(4, NBLK_)
     tdt = jnp.bfloat16 if table_bf16 else jnp.float32
     kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
                    M=max_samples, C=C, BLK=BLK, NW=NW,
@@ -663,7 +679,7 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     NBLK = I_pad // BLK
-    NW = 1
+    NW = 1 if NBLK <= 8 else min(4, NBLK)
     nT = batch_size // chunk
     # negatives must be uniform over the CATALOG: draw each window block
     # with probability proportional to its REAL item count (the tail block

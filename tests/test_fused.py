@@ -88,7 +88,11 @@ def test_fused_eligible():
     assert not fused.fused_eligible(6040, 3706, 127, False, False)  # F too big
     assert not fused.fused_eligible(10_000_000, 1_000_000, 64, False, False)
     assert fused.fused_eligible(1000, 8192, 20, False, False)      # NBLK = 8
-    assert not fused.fused_eligible(1000, 16384, 20, False, False)  # NBLK > 8
+    # Instacart-scale catalogs fit via bf16 tables (NBLK <= FUSED_NBLK_CAP)
+    assert fused.fused_table_mode(10_000, 33_362, 50, False, False) == 'bf16'
+    # beyond the window-coverage cap -> XLA candidate step
+    big = (fused.FUSED_NBLK_CAP + 1) * 1024
+    assert not fused.fused_eligible(1000, big, 20, False, False)
 
 
 def test_block_size_and_pad():

@@ -18,13 +18,17 @@ df = pd.DataFrame({"user_id": np.concatenate(rows_u), "product_id": np.concatena
 train = df.sample(frac=0.68, random_state=1492)
 valid = df.drop(train.index)
 
-for step in ("window", "candidate"):
+for arm, kw in (("fused", dict()),
+                ("candidate", dict(use_fused=False, train_step="candidate"))):
     for trial in (0, 1):
         np.random.seed(100 + trial)
         m = RankFM(factors=50, loss="warp", max_samples=50, alpha=0.01,
                    learning_rate=0.1, learning_schedule="invscaling",
-                   train_step=step, seed=1492 + trial)
+                   seed=1492 + trial, **kw)
         t0 = time.time()
         m.fit(train, epochs=30)
+        fit_s = time.time() - t0
         hr = evaluation.hit_rate(m, valid, k=10)
-        print(f"{step} trial={trial}: {time.time()-t0:.0f}s HRvalid={hr:.3f}")
+        print(f"{arm} trial={trial}: fit={fit_s:.1f}s "
+              f"({len(train)*30/fit_s/1e6:.2f}M rows/s) HRvalid={hr:.3f}",
+              flush=True)

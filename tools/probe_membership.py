@@ -41,3 +41,22 @@ tu3, ti3, ll3 = ep(tu, ti, F.pack_win_cols(packed2, U, I), *layout3,
 print("single-nonmember ll =", float(ll3), "(must be < 0)")
 assert float(ll3) < 0
 print("MEMBERSHIP OK")
+
+# same adversarial check at a 16-block catalog (NW=4 windows per chunk)
+U2, I2 = 1500, 16000
+off2 = np.arange(U2 + 1, dtype=np.int32) * I2
+flat2b = np.tile(np.arange(I2, dtype=np.int32), U2)
+packed_big = F.pack_history_device(off2, flat2b, U2, I2)
+tu_b, ti_b = F.extend_tables(jnp.zeros(I2),
+                             jnp.asarray(rng.normal(0, .1, (U2, Fc)).astype(np.float32)),
+                             jnp.asarray(rng.normal(0, .1, (I2, Fc)).astype(np.float32)),
+                             F.user_pad(U2), F.item_pad(I2))
+u_b = rng.integers(0, U2, B).astype(np.int32)
+i_b = rng.integers(0, I2, B).astype(np.int32)
+lay_b = tuple(map(jnp.asarray, F.make_records_grouped(u_b, i_b, sw, U2, I2, B, 128)))
+ep_b = F.make_fused_epoch_fn(U2, I2, Fc, M, B, chunk=128, donate=False)
+_, _, ll_b = ep_b(tu_b, ti_b, F.pack_win_cols(packed_big, U2, I2), *lay_b,
+                  0.1, 0.01, jax.random.PRNGKey(2), 0)
+print("NW=4 full-history ll =", float(ll_b), "(must be exactly 0.0)")
+assert float(ll_b) == 0.0, "MEMBERSHIP BROKEN (NW=4)"
+print("MEMBERSHIP OK (NW=4)")
