@@ -494,8 +494,9 @@ class RankFM:
 
         from rankfm_tpu.ops import fused as fused_mod
         U, F = len(self.user_idx), self.factors
-        fused_mode = fused_mod.fused_table_mode(U, num_items, F,
-                                                x_uf_any, x_if_any)
+        fused_mode = fused_mod.fused_table_mode(
+            U, num_items, F, x_uf_any, x_if_any,
+            num_uf=self.x_uf.shape[1], num_if=self.x_if.shape[1])
         fused_possible = (
             self.use_fused in (True, 'auto')
             and self.mesh is None
@@ -590,25 +591,60 @@ class RankFM:
             rec_dev, group_dev, cids_dev, ublk_dev, iblk_dev = layout_dev
             epoch_fn = fused_mod.make_fused_epoch_fn(
                 U, num_items, F, max_samples, bs, chunk=chunk,
-                table_bf16=table_bf16)
+                table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any)
+            # side features: lane-padded HBM feature blocks + the packed
+            # small factor tables (v_uf / w_if+v_if) the kernel keeps in VMEM
+            has_feat = x_uf_any or x_if_any
+            if has_feat:
+                xuf_pad = fused_mod.pad_feature_cols(
+                    self._x_uf_dev, U_pad, table_bf16) if x_uf_any else None
+                xif_pad = fused_mod.pad_feature_cols(
+                    self._x_if_dev, I_pad, table_bf16) if x_if_any else None
+                tab_uf, tab_if = fused_mod.extend_feature_tables(
+                    w["v_uf"], w["w_if"], w["v_if"])
+                if not x_uf_any:
+                    tab_uf = None
+                if not x_if_any:
+                    tab_if = None
+
+            def _pull_back():
+                w_i_new, v_u_new, v_i_new = fused_mod.extract_tables(
+                    tab_u, tab_i, U, num_items, F)
+                upd = dict(self._weights,
+                           w_i=w_i_new, v_u=v_u_new, v_i=v_i_new)
+                if x_uf_any or x_if_any:
+                    P, Q = self.x_uf.shape[1], self.x_if.shape[1]
+                    v_uf_new, w_if_new, v_if_new = \
+                        fused_mod.extract_feature_tables(
+                            tab_uf if x_uf_any else jnp.zeros((128, 128)),
+                            tab_if if x_if_any else jnp.zeros((128, 128)),
+                            P, Q, F)
+                    if x_uf_any:
+                        upd["v_uf"] = v_uf_new
+                    if x_if_any:
+                        upd["v_if"] = v_if_new
+                        upd["w_if"] = w_if_new
+                self._weights = upd
+
             for epoch in range(epochs):
                 t0 = _time.time()
-                tab_u, tab_i, ll = epoch_fn(
-                    tab_u, tab_i, self._win_cols, rec_dev, group_dev,
-                    cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
-                    float(self.alpha), base_key, epoch)
+                if has_feat:
+                    tab_u, tab_i, tab_uf, tab_if, ll = epoch_fn(
+                        tab_u, tab_i, self._win_cols, rec_dev, group_dev,
+                        cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
+                        float(self.alpha), base_key, epoch,
+                        xuf_pad, xif_pad, tab_uf, tab_if, float(self.beta))
+                else:
+                    tab_u, tab_i, ll = epoch_fn(
+                        tab_u, tab_i, self._win_cols, rec_dev, group_dev,
+                        cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
+                        float(self.alpha), base_key, epoch)
                 if verbose:
                     # reference-style live epoch reporting needs the weights
                     # pulled back each epoch (`_rankfm.pyx:328-336`)
-                    w_i_new, v_u_new, v_i_new = fused_mod.extract_tables(
-                        tab_u, tab_i, U, num_items, F)
-                    self._weights = dict(self._weights,
-                                         w_i=w_i_new, v_u=v_u_new, v_i=v_i_new)
+                    _pull_back()
                 _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
-            w_i_new, v_u_new, v_i_new = fused_mod.extract_tables(
-                tab_u, tab_i, U, num_items, F)
-            self._weights = dict(self._weights,
-                                 w_i=w_i_new, v_u=v_u_new, v_i=v_i_new)
+            _pull_back()
             _finish_epochs()
         else:
             # windowed negatives are at metric parity with reference-style

@@ -43,9 +43,17 @@ Design (v3 — per-chunk windows, two-level fit-time bucketing):
   the gradient scatter matmuls (user col F, item col F+1) so no separate
   count passes over the one-hots exist.
 
-Eligibility: no side features (the reference's feature terms run via the XLA
-path), factors <= 126, and both extended tables fitting the VMEM budget.
-`RankFM.fit` auto-dispatches.
+Side features fuse too (round 2): the small feature-factor tables
+(``v_uf``/``v_if``+``w_if``, packed 128x128) live in VMEM, each chunk DMAs
+its blocks' feature rows from HBM, representations ``x_uf@v_uf`` /
+``x_if@v_if`` are per-block matmuls gathered through the SAME one-hots,
+and the feature-table gradients are ``[C,*]^T @ [C,128]`` MXU contractions
+with per-touch beta decay (`_rankfm.pyx:48-89, 279-326` feature terms; the
+reference FM's missing uf x if cross term is subtracted explicitly).
+
+Eligibility: factors <= 126, feature columns <= 128 per side, and the
+tables + feature scratch fitting the VMEM budget. `RankFM.fit`
+auto-dispatches.
 """
 
 from __future__ import annotations
@@ -116,7 +124,7 @@ FUSED_NBLK_CAP = 64
 
 
 def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
-                     vmem_table_budget=12 * 2**20):
+                     vmem_table_budget=13 * 2**20, num_uf=0, num_if=0):
     """How the fused kernel can run this configuration.
 
     Returns ``'f32'`` (tables fit in f32), ``'bf16'`` (only the
@@ -126,25 +134,46 @@ def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
     window blocks each chunk rotates 4 negative windows per draw (coverage;
     see `make_fused_batch_fn`); beyond `FUSED_NBLK_CAP` blocks the XLA
     candidate step takes over (see `RankFM.fit_partial`).
+
+    Side features fuse too (`_rankfm.pyx:48-89` feature terms) when each
+    side has <= 128 feature columns: the per-block feature rows ride DMAs
+    into fixed-size VMEM scratch, so they only charge the budget for that
+    scratch, never for the full ``x_uf``/``x_if``.
     """
-    if x_uf_any or x_if_any or factors > LANES - 2:
+    if factors > LANES - 2:
+        return None
+    if (x_uf_any and num_uf > LANES) or (x_if_any and num_if > LANES):
         return None
     i_pad = item_pad(num_items)
-    if i_pad // block_size(num_items) > FUSED_NBLK_CAP:
+    nblk = i_pad // block_size(num_items)
+    if nblk > FUSED_NBLK_CAP:
         return None
     rows = _round_up(num_users, 8) + i_pad
-    if rows * LANES * 4 <= vmem_table_budget:
+    blk = block_size(num_items)
+    nw = 1 if nblk <= 8 else min(4, nblk)
+    def scratch(width):
+        # feature-block scratch is table-dtype (f32 or bf16); the packed
+        # factor tables themselves stay f32 but are one 64 KB tile each
+        s = 0
+        if x_uf_any:
+            s += user_block(num_users) * LANES * width + LANES * LANES * 4
+        if x_if_any:
+            s += (1 + nw) * blk * LANES * width + LANES * LANES * 4
+        return s
+
+    if rows * LANES * 4 + scratch(4) <= vmem_table_budget:
         return 'f32'
-    if rows * LANES * 2 <= vmem_table_budget:
+    if rows * LANES * 2 + scratch(2) <= vmem_table_budget:
         return 'bf16'
     return None
 
 
 def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
-                   vmem_table_budget=12 * 2**20):
+                   vmem_table_budget=13 * 2**20, num_uf=0, num_if=0):
     """Can the fused kernel run this configuration (either table dtype)?"""
     return fused_table_mode(num_users, num_items, factors, x_uf_any,
-                            x_if_any, vmem_table_budget) is not None
+                            x_if_any, vmem_table_budget,
+                            num_uf=num_uf, num_if=num_if) is not None
 
 
 def _pack_coords(items, blk):
@@ -238,6 +267,43 @@ def extract_tables(tab_u, tab_i, num_users, num_items, factors):
     return w_i, v_u, v_i
 
 
+@jax.jit
+def extend_feature_tables(v_uf, w_if, v_if):
+    """Pack the small feature-factor tables for the fused kernel.
+
+    ``tab_uf [128, 128]`` holds ``v_uf [P,F]`` in cols 0..F-1 (col F stays
+    0 so the gathered user row's constant-1 lane survives augmentation);
+    ``tab_if [128, 128]`` holds ``v_if [Q,F]`` in cols 0..F-1 and ``w_if``
+    in col F — so ``x_if_block @ tab_if`` yields both the item feature
+    representation AND the feature bias ``x_if·w_if`` in one matmul.
+    """
+    P, F = v_uf.shape
+    Q = v_if.shape[0]
+    tuf = jnp.zeros((LANES, LANES), jnp.float32).at[:P, :F].set(v_uf)
+    tif = jnp.zeros((LANES, LANES), jnp.float32).at[:Q, :F].set(v_if)
+    tif = tif.at[:Q, F].set(w_if)
+    return tuf, tif
+
+
+def extract_feature_tables(tab_uf, tab_if, num_uf, num_if, factors):
+    v_uf = tab_uf[:num_uf, :factors].astype(jnp.float32)
+    v_if = tab_if[:num_if, :factors].astype(jnp.float32)
+    w_if = tab_if[:num_if, factors].astype(jnp.float32)
+    return v_uf, w_if, v_if
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def pad_feature_cols(x, rows_pad, bf16=False):
+    """``x [N, K] -> [rows_pad, 128]`` zero-padded — the HBM-resident
+    per-fit layout the kernel DMAs feature blocks from. In bf16 table mode
+    the blocks are stored bf16 (halves the VMEM scratch; one-hot/indicator
+    features are exact, dense values round once here)."""
+    n, k = x.shape
+    out = jnp.pad(jnp.asarray(x, jnp.float32),
+                  ((0, rows_pad - n), (0, LANES - k)))
+    return out.astype(jnp.bfloat16) if bf16 else out
+
+
 def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
     """Fit-time epoch layout: pack the RAW interaction columns into int32
     ``[u, i, bits(sw), bits(valid)]`` records GROUPED by (user block, item
@@ -323,10 +389,29 @@ def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
 
 
 def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
-            vu_in, vi_in, seed_ref, eta_ref, dreg_ref,
-            vu_out, vi_out, ll_out,
-            tab_u, tab_i, win_scratch, ll_acc, copy_sem,
-            *, U_pad, UB, I_pad, F, M, C, BLK, NW, num_items, TBF16):
+            vu_in, vi_in, *rest,
+            U_pad, UB, I_pad, F, M, C, BLK, NW, num_items, TBF16,
+            HAS_UF=False, HAS_IF=False):
+    # refs whose presence depends on the (static) feature flags — the
+    # no-feature variants trace the exact same module as before
+    it = iter(rest)
+    xuf_hbm = next(it) if HAS_UF else None
+    xif_hbm = next(it) if HAS_IF else None
+    vuf_in = next(it) if HAS_UF else None
+    vif_in = next(it) if HAS_IF else None
+    seed_ref, eta_ref, dreg_ref = next(it), next(it), next(it)
+    vu_out, vi_out = next(it), next(it)
+    vuf_out = next(it) if HAS_UF else None
+    vif_out = next(it) if HAS_IF else None
+    ll_out = next(it)
+    tab_u, tab_i, win_scratch = next(it), next(it), next(it)
+    tab_uf = next(it) if HAS_UF else None
+    tab_if = next(it) if HAS_IF else None
+    xuf_scr = next(it) if HAS_UF else None
+    xif_pos_scr = next(it) if HAS_IF else None
+    xif_win_scr = next(it) if HAS_IF else None
+    ll_acc, copy_sem = next(it), next(it)
+
     LW = BLK // BITS_PER_LANE
     lg_lw = LW.bit_length() - 1
     t = pl.program_id(0)
@@ -335,12 +420,18 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
 
     @pl.when(t == 0)
     def _load():
-        cin_u = pltpu.make_async_copy(vu_in, tab_u, copy_sem.at[0])
-        cin_i = pltpu.make_async_copy(vi_in, tab_i, copy_sem.at[1])
-        cin_u.start()
-        cin_i.start()
-        cin_u.wait()
-        cin_i.wait()
+        cins = [pltpu.make_async_copy(vu_in, tab_u, copy_sem.at[0]),
+                pltpu.make_async_copy(vi_in, tab_i, copy_sem.at[1])]
+        if HAS_UF:
+            cins.append(pltpu.make_async_copy(vuf_in, tab_uf,
+                                              copy_sem.at[2]))
+        if HAS_IF:
+            cins.append(pltpu.make_async_copy(vif_in, tab_if,
+                                              copy_sem.at[3]))
+        for c in cins:
+            c.start()
+        for c in cins:
+            c.wait()
         ll_acc[0] = 0.0
 
     pltpu.prng_seed(seed_ref[0] + t)
@@ -367,6 +458,20 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
         wincols_ref.at[pl.ds(blks[w] * U_pad + ubase, UB), :],
         win_scratch.at[:, pl.ds(w * LANES, LANES)], copy_sem.at[w])
         for w in range(NW)]
+    # feature blocks for this chunk: x_uf rows of the user block, x_if rows
+    # of the positive block and of every negative window (lane-padded f32,
+    # `pad_feature_cols`) — fixed-size slices regardless of U/I
+    if HAS_UF:
+        wdmas.append(pltpu.make_async_copy(
+            xuf_hbm.at[pl.ds(ubase, UB), :], xuf_scr, copy_sem.at[NW]))
+    if HAS_IF:
+        wdmas.append(pltpu.make_async_copy(
+            xif_hbm.at[pl.ds(ibase, BLK), :], xif_pos_scr,
+            copy_sem.at[NW + 1]))
+        wdmas.extend(pltpu.make_async_copy(
+            xif_hbm.at[pl.ds(boffs[w], BLK), :],
+            xif_win_scr.at[pl.ds(w * BLK, BLK), :],
+            copy_sem.at[NW + 2 + w]) for w in range(NW))
     for c in wdmas:
         c.start()
     for c in wdmas:
@@ -410,12 +515,57 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     tpr = tab_i[pl.ds(ibase, BLK), :]
     tp = tpr if TBF16 else tpr.astype(jnp.bfloat16)
     i_rows = jnp.dot(oh_i, tp, preferred_element_type=jnp.float32)
-    ut_ui = jnp.sum(u_rows * i_rows, axis=1, keepdims=True)       # [C,1]
+
+    # ---- side-feature representations (`_rankfm.pyx:48-89` feature
+    # terms). The small packed factor tables (tab_uf/tab_if, VMEM) turn
+    # each block's feature rows into representation rows by ONE matmul;
+    # per-row reps are then gathered through the SAME one-hots. tab_if
+    # col F carries w_if, so ifrep col F is the feature bias x_if·w_if
+    # and rides the existing col-F bias pickup (user lane F == 1) ----
+    if HAS_UF:
+        xuf_blk = xuf_scr[:].astype(jnp.bfloat16)                 # [UB,128]
+        ufrep_blk = jnp.dot(xuf_blk, tab_uf[:].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+        ufrep_rows = jnp.dot(oh_u, ufrep_blk.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)  # [C,128]
+        xuf_rows = jnp.dot(oh_u, xuf_blk,
+                           preferred_element_type=jnp.float32)    # [C,128]
+        u_aug = u_rows + ufrep_rows
+    else:
+        u_aug = u_rows
+    if HAS_IF:
+        tif_b = tab_if[:].astype(jnp.bfloat16)
+        xif_pos = xif_pos_scr[:].astype(jnp.bfloat16)             # [BLK,128]
+        ifrep_pos = jnp.dot(xif_pos, tif_b,
+                            preferred_element_type=jnp.float32)   # [BLK,128]
+        ifrep_rows = jnp.dot(oh_i, ifrep_pos.astype(jnp.bfloat16),
+                             preferred_element_type=jnp.float32)  # [C,128]
+        xif_rows_i = jnp.dot(oh_i, xif_pos,
+                             preferred_element_type=jnp.float32)  # [C,128]
+        i_tot = i_rows + ifrep_rows
+        xif_win = xif_win_scr[:].astype(jnp.bfloat16)             # [W2,128]
+        ifrep_win = jnp.dot(xif_win, tif_b,
+                            preferred_element_type=jnp.float32)   # [W2,128]
+        tw_tot = (tw.astype(jnp.float32) + ifrep_win).astype(jnp.bfloat16)
+    else:
+        i_tot = i_rows
+        tw_tot = tw
+
+    ut_ui = jnp.sum(u_aug * i_tot, axis=1, keepdims=True)         # [C,1]
+    if HAS_UF and HAS_IF:
+        # the reference FM has NO user-feature x item-feature second-order
+        # term (`rankfm.py:214-244` groups) — remove the cross term the
+        # augmented dot introduced
+        ut_ui -= jnp.sum(ufrep_rows * ifrep_rows, axis=1, keepdims=True)
 
     # ---- score the windows; pairwise utility over all window slots ----
     all_w = jax.lax.dot_general(
-        u_rows.astype(jnp.bfloat16), tw,
+        u_aug.astype(jnp.bfloat16), tw_tot,
         (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [C,W2]
+    if HAS_UF and HAS_IF:
+        all_w -= jax.lax.dot_general(
+            ufrep_rows.astype(jnp.bfloat16), ifrep_win.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     pw = ut_ui - all_w                                                 # [C,W2]
 
     # ---- window membership from packed bits (int ops only; the blocked
@@ -481,7 +631,15 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     has_j = (cnt_j > 0).astype(jnp.float32)
 
     j_rows = jnp.dot(oh_jb, tw, preferred_element_type=jnp.float32)    # [C,128]
-    pw_sel = ut_ui - jnp.sum(u_rows * j_rows, axis=1, keepdims=True)   # [C,1]
+    if HAS_IF:
+        j_tot = jnp.dot(oh_jb, tw_tot, preferred_element_type=jnp.float32)
+    else:
+        j_tot = j_rows
+    ut_uj = jnp.sum(u_aug * j_tot, axis=1, keepdims=True)              # [C,1]
+    if HAS_UF and HAS_IF:
+        ut_uj -= jnp.sum(ufrep_rows * (j_tot - j_rows),
+                         axis=1, keepdims=True)
+    pw_sel = ut_ui - ut_uj                                             # [C,1]
 
     # ---- outer derivative, log-likelihood (`_rankfm.pyx:269-276`) ----
     d = valid * has_j * sw * mult * jax.nn.sigmoid(-pw_sel)            # [C,1]
@@ -490,11 +648,14 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     # ---- gradient rows + one-hot scatter-adds (MXU). Per-row touch
     # counts ride in SPARE gradient columns (col F of the user rows is
     # re-set to 1 after the update; col F+1 of the item rows is zeroed),
-    # so no separate count matmul passes over the one-hots are needed ----
+    # so no separate count matmul passes over the one-hots are needed.
+    # With side features the v_u gradient is the FULL utility derivative
+    # (v_i + if_rep diff) and the v_i gradient is the augmented user
+    # vector (v_u + uf_rep) — `_rankfm.pyx:279-326` ----
     lane = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 1)
-    g_u = d * (i_rows - j_rows)
+    g_u = d * (i_tot - j_tot)
     g_u = jnp.where(lane == F, valid, g_u)       # col F carries touch count
-    g_ip = d * u_rows                            # col F = d = bias grad
+    g_ip = d * u_aug                             # col F = d = bias grad
     g_ip = jnp.where(lane == F + 1, valid, g_ip)
 
     def _store_tab(val):
@@ -535,20 +696,100 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
             twf * (1.0 - dreg * count_j) + eta * sj)
         tab_i[pl.ds(boffs[w], BLK), F + 1:F + 2] = zero_col
 
+    # ---- feature-factor table updates (dense, VMEM-resident). Each is a
+    # [C,*]^T @ [C,128] MXU contraction: row q of the gradient is
+    # sum_c x[c,q] * d_c * (payload rows). Per-touch beta decay counts a
+    # touch per sample whose feature value is nonzero, on the positive
+    # AND on the negative side — the reference's separate i/j feature
+    # loops (`_rankfm.pyx:303-326`), linearized per chunk ----
+    if HAS_UF or HAS_IF:
+        touch = (valid * has_j).astype(jnp.bfloat16)              # [C,1]
+        dregb = dreg_ref[1]                                       # eta*2*beta
+        # feature columns are DENSE: one column can be touched by every
+        # row of the chunk (e.g. a popular department), so the linear
+        # per-touch decay the row tables use (1 - dreg*count, fine for
+        # counts of 0-2) would diverge. Apply the geometric-corrected
+        # per-touch form the XLA step validates against the reference
+        # (`ops/training.py:_decay_apply`):
+        #   w <- c^k w + eta (1-c^k)/(k(1-c)) sum(g),  c = 1 - eta*2*beta
+        # preserving the reference's decay rate AND fixed point.
+        cdec = jnp.maximum(1.0 - dregb, 1e-8)
+        ldecay = jnp.log(cdec)
+        n_ok = jnp.sum(valid * has_j)                             # scalar
+
+        def _geo(cnt):
+            ck = jnp.exp(cnt * ldecay)
+            denom = cnt * (1.0 - cdec)
+            f = jnp.where(denom > 1e-12,
+                          (1.0 - ck) / jnp.maximum(denom, 1e-12), 1.0)
+            return ck, eta * f
+    if HAS_IF:
+        # payload d*u_rows: cols 0..F-1 = d*v_u (v_if grad), col F = d
+        # (w_if grad — user lane F is the constant 1)
+        du = (d * u_rows).astype(jnp.bfloat16)
+        xif_rows_j = jnp.dot(oh_jb, xif_win,
+                             preferred_element_type=jnp.float32)  # [C,128]
+        g_if = (jax.lax.dot_general(
+                    xif_rows_i.astype(jnp.bfloat16), du,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                - jax.lax.dot_general(
+                    xif_rows_j.astype(jnp.bfloat16), du,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32))          # [128,128]
+        # v_if[q] is touched once per sample with a nonzero feature
+        # DIFFERENCE (`_rankfm.pyx:321-326`); w_if[q] (col F) decays once
+        # per sample for EVERY q — the reference's w_if loop has no
+        # zero-skip (`_rankfm.pyx:283-286`)
+        cnt_if = jax.lax.dot_general(
+            (xif_rows_i != xif_rows_j).astype(jnp.bfloat16), touch,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [128,1]
+        ck_v, gf_v = _geo(cnt_if)
+        ck_w, gf_w = _geo(n_ok)
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        decay_m = jnp.where(lane_q == F, ck_w, ck_v)
+        gfac_m = jnp.where(lane_q == F, gf_w, gf_v)
+        tab_if[:, :] = tab_if[:, :] * decay_m + gfac_m * g_if
+    if HAS_UF:
+        # v_uf grad payload: d * RAW (v_i[i] - v_i[j]) (`_rankfm.pyx`
+        # v_uf lines use the raw item factors). Col F picks up
+        # d*(w_i - w_j) garbage — zeroed so the score-side constant-1
+        # pickup lane stays clean.
+        gv = (d * (i_rows - j_rows)).astype(jnp.bfloat16)
+        g_uf = jax.lax.dot_general(
+            xuf_rows.astype(jnp.bfloat16), gv,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [128,128]
+        cnt_uf = jax.lax.dot_general(
+            (xuf_rows != 0).astype(jnp.bfloat16), touch,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [128,1]
+        ck_u, gf_u = _geo(cnt_uf)
+        tab_uf[:, :] = tab_uf[:, :] * ck_u + gf_u * g_uf
+        tab_uf[:, F:F + 1] = jnp.zeros((LANES, 1), jnp.float32)
+
     @pl.when(t == nT - 1)
     def _store():
         ll_out[0, 0] = ll_acc[0]
-        cout_u = pltpu.make_async_copy(tab_u, vu_out, copy_sem.at[0])
-        cout_i = pltpu.make_async_copy(tab_i, vi_out, copy_sem.at[1])
-        cout_u.start()
-        cout_i.start()
-        cout_u.wait()
-        cout_i.wait()
+        couts = [pltpu.make_async_copy(tab_u, vu_out, copy_sem.at[0]),
+                 pltpu.make_async_copy(tab_i, vi_out, copy_sem.at[1])]
+        if HAS_UF:
+            couts.append(pltpu.make_async_copy(tab_uf, vuf_out,
+                                               copy_sem.at[2]))
+        if HAS_IF:
+            couts.append(pltpu.make_async_copy(tab_if, vif_out,
+                                               copy_sem.at[3]))
+        for c in couts:
+            c.start()
+        for c in couts:
+            c.wait()
 
 
 @lru_cache(maxsize=16)
 def make_fused_batch_fn(num_users, num_items, factors, max_samples,
-                        batch_size, chunk=128, table_bf16=False):
+                        batch_size, chunk=128, table_bf16=False,
+                        has_uf=False, has_if=False):
     """Build ``fn(tab_u, tab_i, rec, win_cols, chunkids, blk, ublk, iblk,
     seed, eta, dreg) -> (tab_u, tab_i, ll)`` running one minibatch fully
     fused.
@@ -593,60 +834,126 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     tdt = jnp.bfloat16 if table_bf16 else jnp.float32
     kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
                    M=max_samples, C=C, BLK=BLK, NW=NW,
-                   num_items=num_items, TBF16=table_bf16)
+                   num_items=num_items, TBF16=table_bf16,
+                   HAS_UF=has_uf, HAS_IF=has_if)
+
+    in_specs = [
+        # the WHOLE epoch's record array; grid step t reads chunk
+        # chunkids[t] — the fit-time interleave costs zero data movement
+        pl.BlockSpec((C, 4), lambda t, cid: (cid[t], 0),
+                     memory_space=pltpu.VMEM),                             # rec
+        pl.BlockSpec(memory_space=pltpu.HBM),                              # win cols
+        pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
+        pl.BlockSpec(memory_space=pltpu.SMEM),                             # ublk
+        pl.BlockSpec(memory_space=pltpu.SMEM),                             # iblk
+        pl.BlockSpec(memory_space=pl.ANY),                              # vu_in
+        pl.BlockSpec(memory_space=pl.ANY),                              # vi_in
+    ]
+    if has_uf:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))              # x_uf
+    if has_if:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))              # x_if
+    if has_uf:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))              # vuf_in
+    if has_if:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))              # vif_in
+    in_specs += [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                             # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),                             # eta
+        pl.BlockSpec(memory_space=pltpu.SMEM),                             # dreg
+    ]
+
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),                              # vu_out
+        pl.BlockSpec(memory_space=pl.ANY),                              # vi_out
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((U_pad, LANES), tdt),
+        jax.ShapeDtypeStruct((I_pad, LANES), tdt),
+    ]
+    # feature-table aliases: input index counts the scalar-prefetch arg
+    aliases = {6: 0, 7: 1}
+    nfi = 8  # next input index (after vu_in=6, vi_in=7 + prefetch offset)
+    nfi += int(has_uf) + int(has_if)  # x_uf / x_if HBM inputs
+    nfo = 2
+    if has_uf:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))             # vuf_out
+        out_shape.append(jax.ShapeDtypeStruct((LANES, LANES), jnp.float32))
+        aliases[nfi] = nfo
+        nfi += 1
+        nfo += 1
+    if has_if:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))             # vif_out
+        out_shape.append(jax.ShapeDtypeStruct((LANES, LANES), jnp.float32))
+        aliases[nfi] = nfo
+        nfi += 1
+        nfo += 1
+    out_specs.append(pl.BlockSpec((1, 1), lambda t, cid: (0, 0),
+                                  memory_space=pltpu.SMEM))                # ll
+    out_shape.append(jax.ShapeDtypeStruct((1, 1), jnp.float32))
+
+    scratch_shapes = [
+        pltpu.VMEM((U_pad, LANES), tdt),
+        pltpu.VMEM((I_pad, LANES), tdt),
+        pltpu.VMEM((UB, NW * LANES), jnp.int32),
+    ]
+    fdt = jnp.bfloat16 if table_bf16 else jnp.float32
+    if has_uf:
+        scratch_shapes.append(pltpu.VMEM((LANES, LANES), jnp.float32))  # tab_uf
+    if has_if:
+        scratch_shapes.append(pltpu.VMEM((LANES, LANES), jnp.float32))  # tab_if
+    if has_uf:
+        scratch_shapes.append(pltpu.VMEM((UB, LANES), fdt))             # xuf
+    if has_if:
+        scratch_shapes.append(pltpu.VMEM((BLK, LANES), fdt))            # xif pos
+        scratch_shapes.append(pltpu.VMEM((NW * BLK, LANES), fdt))
+    scratch_shapes += [
+        pltpu.SMEM((1,), jnp.float32),
+        pltpu.SemaphoreType.DMA((2 * NW + 2,)),
+    ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # chunkids: the interleaved chunk visit order
         grid=(nT,),
-        in_specs=[
-            # the WHOLE epoch's record array; grid step t reads chunk
-            # chunkids[t] — the fit-time interleave costs zero data movement
-            pl.BlockSpec((C, 4), lambda t, cid: (cid[t], 0),
-                         memory_space=pltpu.VMEM),                             # rec
-            pl.BlockSpec(memory_space=pltpu.HBM),                              # win cols
-            pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
-            pl.BlockSpec(memory_space=pltpu.SMEM),                             # ublk
-            pl.BlockSpec(memory_space=pltpu.SMEM),                             # iblk
-            pl.BlockSpec(memory_space=pl.ANY),                              # vu_in
-            pl.BlockSpec(memory_space=pl.ANY),                              # vi_in
-            pl.BlockSpec(memory_space=pltpu.SMEM),                             # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),                             # eta
-            pl.BlockSpec(memory_space=pltpu.SMEM),                             # dreg
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),                              # vu_out
-            pl.BlockSpec(memory_space=pl.ANY),                              # vi_out
-            pl.BlockSpec((1, 1), lambda t, cid: (0, 0),
-                         memory_space=pltpu.SMEM),                             # ll
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((U_pad, LANES), tdt),
-            pltpu.VMEM((I_pad, LANES), tdt),
-            pltpu.VMEM((UB, NW * LANES), jnp.int32),
-            pltpu.SMEM((1,), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
 
     call = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((U_pad, LANES), tdt),
-            jax.ShapeDtypeStruct((I_pad, LANES), tdt),
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        ],
-        input_output_aliases={6: 0, 7: 1},
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20,
         ),
     )
 
     def fn(tab_u, tab_i, rec, win_cols, chunkids, blk, ublk, iblk,
-           seed, eta, dreg):
-        tu, ti, ll = call(chunkids, rec, win_cols, blk, ublk, iblk,
-                          tab_u, tab_i, seed, eta, dreg)
-        return tu, ti, ll[0, 0]
+           seed, eta, dreg, x_uf=None, x_if=None, tab_uf=None, tab_if=None):
+        fin = [chunkids, rec, win_cols, blk, ublk, iblk, tab_u, tab_i]
+        if has_uf:
+            fin.append(x_uf)
+        if has_if:
+            fin.append(x_if)
+        if has_uf:
+            fin.append(tab_uf)
+        if has_if:
+            fin.append(tab_if)
+        fin += [seed, eta, dreg]
+        out = call(*fin)
+        tu, ti = out[0], out[1]
+        k = 2
+        tuf = tif = None
+        if has_uf:
+            tuf = out[k]
+            k += 1
+        if has_if:
+            tif = out[k]
+            k += 1
+        ll = out[k]
+        return tu, ti, tuf, tif, ll[0, 0]
 
     return fn
 
@@ -687,7 +994,8 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
     real_cum = np.minimum(np.arange(1, NBLK + 1) * BLK, num_items)
 
     def one_epoch(tab_u, tab_i, win_cols, rec, group, cids, ublk, iblk, eta,
-                  alpha, key, epoch):
+                  alpha, key, epoch, x_uf=None, x_if=None, tab_uf=None,
+                  tab_if=None, beta=0.0):
         n_pad = rec.shape[0]
         nb = n_pad // batch_size
         key = jax.random.fold_in(key, epoch)
@@ -714,26 +1022,32 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
             jnp.asarray(real_cum, jnp.float32), draw, side="right"
         ).astype(jnp.int32)
         eta_arr = jnp.reshape(jnp.asarray(eta, jnp.float32), (1,))
-        dreg_arr = eta_arr * (2.0 * jnp.asarray(alpha, jnp.float32))
+        dreg_arr = jnp.concatenate([
+            eta_arr * (2.0 * jnp.asarray(alpha, jnp.float32)),
+            eta_arr * (2.0 * jnp.asarray(beta, jnp.float32)),
+        ])
 
         def body(carry, xs):
-            tu, ti = carry
+            tu, ti, tuf, tif = carry
             cid_, seed_, blk_, ublk_, iblk_ = xs
-            tu, ti, ll = batch_fn(tu, ti, rec_s, win_cols, cid_, blk_,
-                                  ublk_, iblk_, jnp.reshape(seed_, (1,)),
-                                  eta_arr, dreg_arr)
-            return (tu, ti), ll
+            tu, ti, tuf, tif, ll = batch_fn(
+                tu, ti, rec_s, win_cols, cid_, blk_, ublk_, iblk_,
+                jnp.reshape(seed_, (1,)), eta_arr, dreg_arr,
+                x_uf=x_uf, x_if=x_if, tab_uf=tuf, tab_if=tif)
+            return (tu, ti, tuf, tif), ll
 
-        (tab_u, tab_i), lls = jax.lax.scan(
-            body, (tab_u, tab_i), (cids_b, seeds, blks, ublk_b, iblk_b))
-        return tab_u, tab_i, jnp.sum(lls)
+        (tab_u, tab_i, tab_uf, tab_if), lls = jax.lax.scan(
+            body, (tab_u, tab_i, tab_uf, tab_if),
+            (cids_b, seeds, blks, ublk_b, iblk_b))
+        return tab_u, tab_i, tab_uf, tab_if, jnp.sum(lls)
 
     return one_epoch
 
 
 @lru_cache(maxsize=16)
 def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
-                        chunk=128, donate=True, table_bf16=False):
+                        chunk=128, donate=True, table_bf16=False,
+                        has_uf=False, has_if=False):
     """Whole-epoch driver around the fused kernel: one segmented-shuffle
     sort per epoch (the bucketed layout is fixed at fit time,
     `make_records_grouped`), then a `lax.scan` whose body is only the
@@ -749,15 +1063,26 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     """
     batch_fn = make_fused_batch_fn(
         num_users, num_items, factors, max_samples, batch_size, chunk,
-        table_bf16=table_bf16)
+        table_bf16=table_bf16, has_uf=has_uf, has_if=has_if)
     one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size,
                             chunk)
 
-    def epoch_fn(tab_u, tab_i, win_cols, rec, group, chunkids, ublk, iblk,
-                 eta, alpha, key, epoch):
-        return one_epoch(tab_u, tab_i, win_cols, rec, group, chunkids, ublk,
-                         iblk, jnp.float32(eta), jnp.float32(alpha), key,
-                         jnp.int32(epoch))
+    if has_uf or has_if:
+        def epoch_fn(tab_u, tab_i, win_cols, rec, group, chunkids, ublk,
+                     iblk, eta, alpha, key, epoch, x_uf, x_if, tab_uf,
+                     tab_if, beta):
+            return one_epoch(tab_u, tab_i, win_cols, rec, group, chunkids,
+                             ublk, iblk, jnp.float32(eta),
+                             jnp.float32(alpha), key, jnp.int32(epoch),
+                             x_uf=x_uf, x_if=x_if, tab_uf=tab_uf,
+                             tab_if=tab_if, beta=jnp.float32(beta))
+    else:
+        def epoch_fn(tab_u, tab_i, win_cols, rec, group, chunkids, ublk,
+                     iblk, eta, alpha, key, epoch):
+            out = one_epoch(tab_u, tab_i, win_cols, rec, group, chunkids,
+                            ublk, iblk, jnp.float32(eta),
+                            jnp.float32(alpha), key, jnp.int32(epoch))
+            return out[0], out[1], out[4]
 
     donate_argnums = (0, 1) if donate else ()
     return jax.jit(epoch_fn, donate_argnums=donate_argnums)

@@ -84,12 +84,19 @@ def test_extend_extract_roundtrip():
 
 def test_fused_eligible():
     assert fused.fused_eligible(6040, 3706, 20, False, False)
-    assert not fused.fused_eligible(6040, 3706, 20, True, False)   # features
+    # side features fuse (round 2) when each side has <= 128 columns
+    assert fused.fused_eligible(6040, 3706, 20, True, False, num_uf=30)
+    assert fused.fused_eligible(6040, 3706, 20, False, True, num_if=21)
+    assert not fused.fused_eligible(6040, 3706, 20, False, True, num_if=200)
     assert not fused.fused_eligible(6040, 3706, 127, False, False)  # F too big
     assert not fused.fused_eligible(10_000_000, 1_000_000, 64, False, False)
     assert fused.fused_eligible(1000, 8192, 20, False, False)      # NBLK = 8
     # Instacart-scale catalogs fit via bf16 tables (NBLK <= FUSED_NBLK_CAP)
     assert fused.fused_table_mode(10_000, 33_362, 50, False, False) == 'bf16'
+    # ... including WITH the department side features (feature scratch is
+    # per-block, so the budget charge is fixed-size)
+    assert fused.fused_table_mode(10_000, 33_362, 50, False, True,
+                                  num_if=21) == 'bf16'
     # beyond the window-coverage cap -> XLA candidate step
     big = (fused.FUSED_NBLK_CAP + 1) * 1024
     assert not fused.fused_eligible(1000, big, 20, False, False)
@@ -218,3 +225,122 @@ def test_grouped_records_layout_invariants():
     shuffled = np.stack([np.asarray(c) for c in (c0, c1, c2, c3)], 1)
     check(shuffled)
     assert not np.array_equal(shuffled, rec)  # it did shuffle
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
+                    reason="Mosaic kernel needs TPU hardware")
+def test_fused_feature_path_exact_parity():
+    """EXACT deterministic parity of the side-feature fused kernel: with a
+    one-block catalog and every user's history covering all items except
+    ONE, the BPR negative draw is forced, so a single 128-row chunk is a
+    fully deterministic synchronous update. All six weight tensors must
+    match a numpy oracle implementing the reference gradient/decay
+    semantics (`_rankfm.pyx:272-326`: full-utility v_u gradient, augmented
+    v_i gradient, v_if touch on nonzero feature DIFFERENCE, w_if decay
+    every sample, geometric-corrected per-touch decay) to bf16-matmul
+    tolerance."""
+    rng = np.random.default_rng(3)
+    U, I, F, ND, P, C = 48, 128, 10, 6, 5, 128
+    j_u = rng.integers(0, I, U)
+    offsets = np.zeros(U + 1, np.int32)
+    flat = []
+    for u in range(U):
+        its = np.setdiff1d(np.arange(I), [j_u[u]])
+        flat.append(its)
+        offsets[u + 1] = offsets[u] + len(its)
+    flat = np.concatenate(flat).astype(np.int32)
+    u_rows = rng.integers(0, U, C).astype(np.int32)
+    i_rows = np.array([(j_u[u] + 1 + rng.integers(0, I - 1)) % I
+                       for u in u_rows], np.int32)
+    sw = rng.uniform(0.5, 2.0, C).astype(np.float32)
+    dept = rng.integers(0, ND, I)
+    x_if = np.zeros((I, ND), np.float32)
+    x_if[np.arange(I), dept] = 1.0
+    x_uf = (rng.uniform(0, 1, (U, P)).astype(np.float32)
+            * (rng.uniform(size=(U, P)) < 0.4))
+    w_i = rng.normal(0, 0.1, I).astype(np.float32)
+    v_u = rng.normal(0, 0.1, (U, F)).astype(np.float32)
+    v_i = rng.normal(0, 0.1, (I, F)).astype(np.float32)
+    w_if = rng.normal(0, 0.05, ND).astype(np.float32)
+    v_if = rng.normal(0, 0.05, (ND, F)).astype(np.float32)
+    v_uf = rng.normal(0, 0.05, (P, F)).astype(np.float32)
+    eta, alpha, beta = 0.07, 0.01, 0.1
+
+    # numpy oracle (chunk-synchronous, reference semantics)
+    uf_rep, if_rep = x_uf @ v_uf, x_if @ v_if
+    b_i = w_i + x_if @ w_if
+
+    def score(u, i):
+        return b_i[i] + (v_u[u] + uf_rep[u]) @ v_i[i] + v_u[u] @ if_rep[i]
+
+    j_o = j_u[u_rows]
+    pw = np.array([score(u, i) - score(u, j)
+                   for u, i, j in zip(u_rows, i_rows, j_o)])
+    mult = np.log(I - 1) / np.log(I)
+    d = sw * mult / (1.0 + np.exp(pw))
+    g_vu, g_vi = np.zeros_like(v_u), np.zeros_like(v_i)
+    g_wi, g_wif = np.zeros_like(w_i), np.zeros_like(w_if)
+    g_vif, g_vuf = np.zeros_like(v_if), np.zeros_like(v_uf)
+    cnt_u, cnt_i = np.zeros(U), np.zeros(I)
+    cnt_q, cnt_p = np.zeros(ND), np.zeros(P)
+    for c in range(C):
+        u, i, j, dc = u_rows[c], i_rows[c], j_o[c], d[c]
+        g_vu[u] += dc * (v_i[i] - v_i[j] + if_rep[i] - if_rep[j])
+        cnt_u[u] += 1
+        g_vi[i] += dc * (v_u[u] + uf_rep[u])
+        g_wi[i] += dc
+        cnt_i[i] += 1
+        g_vi[j] -= dc * (v_u[u] + uf_rep[u])
+        g_wi[j] -= dc
+        cnt_i[j] += 1
+        g_wif += dc * (x_if[i] - x_if[j])
+        g_vif += dc * np.outer(x_if[i] - x_if[j], v_u[u])
+        cnt_q += x_if[i] != x_if[j]
+        g_vuf += dc * np.outer(x_uf[u], v_i[i] - v_i[j])
+        cnt_p += x_uf[u] != 0
+    dra, drb = eta * 2 * alpha, eta * 2 * beta
+    v_u_n = v_u * (1 - dra * cnt_u)[:, None] + eta * g_vu
+    v_i_n = v_i * (1 - dra * cnt_i)[:, None] + eta * g_vi
+    w_i_n = w_i * (1 - dra * cnt_i) + eta * g_wi
+    cdec = 1 - drb
+
+    def geo(cnt):
+        ck = cdec ** cnt
+        f = np.where(cnt > 0,
+                     (1 - ck) / np.maximum(cnt * (1 - cdec), 1e-12), 1.0)
+        return ck, eta * f
+
+    ck_w, gf_w = geo(float(C))
+    ck_v, gf_v = geo(cnt_q)
+    ck_p, gf_p = geo(cnt_p)
+    w_if_n = w_if * ck_w + gf_w * g_wif
+    v_if_n = v_if * ck_v[:, None] + gf_v[:, None] * g_vif
+    v_uf_n = v_uf * ck_p[:, None] + gf_p[:, None] * g_vuf
+
+    # fused kernel, one batch == one chunk
+    U_pad, I_pad = fused.user_pad(U), fused.item_pad(I)
+    tu, ti = fused.extend_tables(jnp.asarray(w_i), jnp.asarray(v_u),
+                                 jnp.asarray(v_i), U_pad, I_pad)
+    tuf, tif = fused.extend_feature_tables(
+        jnp.asarray(v_uf), jnp.asarray(w_if), jnp.asarray(v_if))
+    packed = fused.pack_history_device(offsets, flat, U, I)
+    win_cols = fused.pack_win_cols(packed, U, I)
+    xuf_pad = fused.pad_feature_cols(jnp.asarray(x_uf), U_pad)
+    xif_pad = fused.pad_feature_cols(jnp.asarray(x_if), I_pad)
+    layout = tuple(map(jnp.asarray, fused.make_records_grouped(
+        u_rows, i_rows, sw, U, I, C, C)))
+    ep = fused.make_fused_epoch_fn(U, I, F, 1, C, chunk=C, donate=False,
+                                   has_uf=True, has_if=True)
+    tu2, ti2, tuf2, tif2, ll2 = ep(tu, ti, win_cols, *layout, eta, alpha,
+                                   jax.random.PRNGKey(0), 0,
+                                   xuf_pad, xif_pad, tuf, tif, beta)
+    w_i2, v_u2, v_i2 = fused.extract_tables(tu2, ti2, U, I, F)
+    v_uf2, w_if2, v_if2 = fused.extract_feature_tables(tuf2, tif2, P, ND, F)
+
+    ll = np.sum(-np.log1p(np.exp(-pw)))
+    assert abs(ll - float(ll2)) / abs(ll) < 1e-3
+    for got, want in [(v_u2, v_u_n), (v_i2, v_i_n), (w_i2, w_i_n),
+                      (w_if2, w_if_n), (v_if2, v_if_n), (v_uf2, v_uf_n)]:
+        got = np.asarray(got)
+        rel = np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-6)
+        assert rel < 0.02, rel
