@@ -93,11 +93,16 @@ class RankFM:
             search, scales to huge catalogs), or 'auto' (bitmap when the
             packed bitmap fits in ~512 MB)
         :param use_fused: use the fused Pallas training kernel when eligible
-            (no side features, tables fit VMEM): True / False / 'auto'
-        :param train_step: XLA step flavor: 'window' (windowed negatives, up
-            to ~20x faster), 'candidate' (reference-style per-row candidate
-            draws, catalog-size-independent sampling fidelity), or 'auto'
-            (window through 8 window blocks, candidate beyond)
+            (tables + feature scratch fit VMEM): True / False / 'auto'
+        :param train_step: 'window' (windowed negatives, up to ~20x
+            faster), 'candidate' (reference-style per-row candidate draws,
+            catalog-size-independent sampling fidelity), 'mixed' (fused
+            epochs finished by a short candidate-step tail — catalog-wide
+            hard negatives land where WARP needs them most; measured to
+            BEAT pure-candidate quality at ~4x its speed on
+            Instacart-class catalogs), or 'auto' (window through 8 window
+            blocks; mixed beyond when the fused kernel is running,
+            candidate otherwise)
         :param mesh: optional `jax.sharding.Mesh` with axes ('data', 'model')
             for sharded tables/batches; None = single-device
         """
@@ -127,8 +132,8 @@ class RankFM:
             "[neg_sampler] must be in ('auto', 'bitmap', 'bsearch')"
         assert use_fused in (True, False, 'auto'), \
             "[use_fused] must be in (True, False, 'auto')"
-        assert train_step in ('auto', 'window', 'candidate'), \
-            "[train_step] must be in ('auto', 'window', 'candidate')"
+        assert train_step in ('auto', 'window', 'candidate', 'mixed'), \
+            "[train_step] must be in ('auto', 'window', 'candidate', 'mixed')"
         self.train_step = train_step
         self.batch_size = batch_size
         self.seed = seed
@@ -504,15 +509,6 @@ class RankFM:
             and fused_mode is not None
         )
         bs = self._auto_batch_size(n, fused=fused_possible)
-        n_pad = max(1, math.ceil(n / bs)) * bs
-
-        # pad interaction columns to a whole number of batches
-        u = np.zeros(n_pad, dtype=np.int32)
-        i = np.zeros(n_pad, dtype=np.int32)
-        sw = np.zeros(n_pad, dtype=np.float32)
-        u[:n] = self.interactions[:, 0]
-        i[:n] = self.interactions[:, 1]
-        sw[:n] = self.sample_weight
 
         base_key = jax.random.PRNGKey(self.seed)
 
@@ -551,6 +547,85 @@ class RankFM:
             if self.learning_schedule == 'constant':
                 return self.learning_rate
             return self.learning_rate / (epoch + 1) ** self.learning_exponent
+
+        def _run_xla_epochs(epoch_iter, step_kind=None):
+            """Run epochs through the XLA step machinery (window/candidate/
+            sharded), continuing the GLOBAL epoch numbering so eta schedule
+            and PRNG streams line up with any fused epochs before it."""
+            bs_x = self._auto_batch_size(n, fused=False)
+            n_pad = max(1, math.ceil(n / bs_x)) * bs_x
+            u = np.zeros(n_pad, dtype=np.int32)
+            i = np.zeros(n_pad, dtype=np.int32)
+            sw = np.zeros(n_pad, dtype=np.float32)
+            u[:n] = self.interactions[:, 0]
+            i[:n] = self.interactions[:, 1]
+            sw[:n] = self.sample_weight
+            if step_kind is None:
+                # windowed negatives are at metric parity with
+                # reference-style candidate draws up to ~8 window blocks;
+                # beyond that the candidate step's catalog-wide sampling
+                # measurably wins
+                if self.train_step in ('auto', 'mixed'):
+                    nblk = (fused_mod.item_pad(num_items)
+                            // fused_mod.block_size(num_items))
+                    step_kind = 'window' if nblk <= 8 else 'candidate'
+                else:
+                    step_kind = self.train_step
+            fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs_x,
+                      n_pad, self._sampler, self.mesh is not None, step_kind,
+                      tuple(v.shape for v in self._weights.values()))
+            if self._epoch_fn is None or self._epoch_fn_key != fn_key:
+                if self.mesh is not None:
+                    from rankfm_tpu.parallel.train import (
+                        make_sharded_epoch_fn, place_weights)
+                    self._epoch_fn = make_sharded_epoch_fn(
+                        self.mesh, num_items, max_samples, x_uf_any, x_if_any,
+                        bs_x, sample_rounds=self.sample_rounds,
+                        sampler=self._sampler, step_kind=step_kind,
+                    )
+                    self._weights = place_weights(self.mesh, self._weights)
+                else:
+                    # the Pallas table-update packs F+2 columns (factor grad,
+                    # bias grad, validity) into one 128-lane row — gate it on
+                    # the same factors bound as the fused kernel, falling back
+                    # to .at[].add scatters for very wide models
+                    nnz = len(self._ui_items)
+                    density = nnz / max(U * num_items, 1)
+                    self._epoch_fn = make_epoch_fn(
+                        num_items, max_samples, x_uf_any, x_if_any, bs_x,
+                        sample_rounds=self.sample_rounds, sampler=self._sampler,
+                        pallas_scatter=_on_tpu() and F <= 126,
+                        step_kind=step_kind,
+                        # post-hoc membership testing of only the selected
+                        # negative is a ~density-grade approximation of the
+                        # reference's pre-draw rejection — only sound when
+                        # histories are sparse relative to the catalog
+                        post_reject=density < 0.02,
+                    )
+                self._epoch_fn_key = fn_key
+
+            w = self._weights
+            if step_kind == 'candidate':
+                hist = {"offsets": self._offsets_dev,
+                        "flat": self._flat_items_dev,
+                        "bitmap": self._ensure_bitmap()}
+            else:
+                # the window-WARP step reads the blocked history pack
+                if self._packed_hist is None:
+                    self._packed_hist = fused_mod.pack_history_device(
+                        self._ui_offsets, self._ui_items, U, num_items)
+                hist = self._packed_hist
+            u_dev, i_dev, sw_dev = jnp.asarray(u), jnp.asarray(i), jnp.asarray(sw)
+            for epoch in epoch_iter:
+                t0 = _time.time()
+                w, ll = self._epoch_fn(
+                    w, self._x_uf_dev, self._x_if_dev, hist,
+                    u_dev, i_dev, sw_dev, n,
+                    float(_eta(epoch)), float(self.alpha), float(self.beta),
+                    base_key, epoch,
+                )
+                self._weights = w
+                _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
 
         if fused_ok:
             U_pad = fused_mod.user_pad(U)
@@ -626,7 +701,18 @@ class RankFM:
                         upd["w_if"] = w_if_new
                 self._weights = upd
 
-            for epoch in range(epochs):
+            # mixed schedule: on large catalogs (where windowed negatives
+            # are exposure-limited) finish with a short candidate-step tail
+            # — catalog-wide hard negatives land at the END, where WARP
+            # needs them; measured to BEAT pure-candidate quality at ~4x
+            # its speed (tools/probe_feature_ab.py, BENCHMARKS.md)
+            nblk_f = I_pad // fused_mod.block_size(num_items)
+            n_tail = 0
+            if (self.train_step == 'mixed'
+                    or (self.train_step == 'auto' and nblk_f > 8)):
+                n_tail = min(5, epochs // 6)
+
+            for epoch in range(epochs - n_tail):
                 t0 = _time.time()
                 if has_feat:
                     tab_u, tab_i, tab_uf, tab_if, ll = epoch_fn(
@@ -645,72 +731,12 @@ class RankFM:
                     _pull_back()
                 _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
             _pull_back()
+            if n_tail:
+                _run_xla_epochs(range(epochs - n_tail, epochs),
+                                step_kind='candidate')
             _finish_epochs()
         else:
-            # windowed negatives are at metric parity with reference-style
-            # candidate draws up to ~8 window blocks; beyond that the
-            # candidate step's catalog-wide sampling measurably wins
-            if self.train_step == 'auto':
-                nblk = (fused_mod.item_pad(num_items)
-                        // fused_mod.block_size(num_items))
-                step_kind = 'window' if nblk <= 8 else 'candidate'
-            else:
-                step_kind = self.train_step
-            fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs, n_pad,
-                      self._sampler, self.mesh is not None, step_kind,
-                      tuple(v.shape for v in self._weights.values()))
-            if self._epoch_fn is None or self._epoch_fn_key != fn_key:
-                if self.mesh is not None:
-                    from rankfm_tpu.parallel.train import (
-                        make_sharded_epoch_fn, place_weights)
-                    self._epoch_fn = make_sharded_epoch_fn(
-                        self.mesh, num_items, max_samples, x_uf_any, x_if_any,
-                        bs, sample_rounds=self.sample_rounds,
-                        sampler=self._sampler, step_kind=step_kind,
-                    )
-                    self._weights = place_weights(self.mesh, self._weights)
-                else:
-                    # the Pallas table-update packs F+2 columns (factor grad,
-                    # bias grad, validity) into one 128-lane row — gate it on
-                    # the same factors bound as the fused kernel, falling back
-                    # to .at[].add scatters for very wide models
-                    nnz = len(self._ui_items)
-                    density = nnz / max(U * num_items, 1)
-                    self._epoch_fn = make_epoch_fn(
-                        num_items, max_samples, x_uf_any, x_if_any, bs,
-                        sample_rounds=self.sample_rounds, sampler=self._sampler,
-                        pallas_scatter=_on_tpu() and F <= 126,
-                        step_kind=step_kind,
-                        # post-hoc membership testing of only the selected
-                        # negative is a ~density-grade approximation of the
-                        # reference's pre-draw rejection — only sound when
-                        # histories are sparse relative to the catalog
-                        post_reject=density < 0.02,
-                    )
-                self._epoch_fn_key = fn_key
-
-            w = self._weights
-            if step_kind == 'candidate':
-                hist = {"offsets": self._offsets_dev,
-                        "flat": self._flat_items_dev,
-                        "bitmap": self._ensure_bitmap()}
-            else:
-                # the window-WARP step reads the blocked history pack
-                if self._packed_hist is None:
-                    self._packed_hist = fused_mod.pack_history_device(
-                        self._ui_offsets, self._ui_items, U, num_items)
-                hist = self._packed_hist
-            u_dev, i_dev, sw_dev = jnp.asarray(u), jnp.asarray(i), jnp.asarray(sw)
-            for epoch in range(epochs):
-                t0 = _time.time()
-                w, ll = self._epoch_fn(
-                    w, self._x_uf_dev, self._x_if_dev, hist,
-                    u_dev, i_dev, sw_dev, n,
-                    float(_eta(epoch)), float(self.alpha), float(self.beta),
-                    base_key, epoch,
-                )
-                self._weights = w
-                _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
+            _run_xla_epochs(range(epochs))
             _finish_epochs()
 
         self.is_fit = True

@@ -385,3 +385,20 @@ def test_evaluation_metrics_match_hand_computed_oracle():
     assert evaluation.discounted_cumulative_gain(model, test, k=k) == pytest.approx(np.mean(dcgs))
     assert evaluation.precision(model, test, k=k) == pytest.approx(np.mean(precs))
     assert evaluation.recall(model, test, k=k) == pytest.approx(np.mean(recalls))
+
+
+def test_mixed_train_step_accepted_and_fits():
+    """'mixed' is a valid train_step: on large catalogs the fused path
+    finishes with a candidate-step tail (TPU); off-TPU it degrades to the
+    auto window/candidate rule and must still fit end to end."""
+    with pytest.raises(AssertionError):
+        RankFM(factors=2, train_step="bogus")
+    rng = np.random.default_rng(5)
+    inter = np.stack([rng.integers(0, 30, 400), rng.integers(0, 50, 400)], 1)
+    model = RankFM(factors=4, loss="warp", max_samples=3, seed=1,
+                   train_step="mixed")
+    model.fit(inter, epochs=2)
+    assert model.is_fit
+    assert len(model.training_log_) == 2
+    recs = model.recommend(np.arange(10), n_items=5)
+    assert recs.shape == (10, 5)

@@ -45,7 +45,8 @@ item_features = pd.DataFrame(
     np.column_stack([items, feat]),
     columns=["product_id"] + [f"dept_{d}" for d in range(N_DEPTS)])
 
-for arm, kw in (("fused+feat", dict()),
+for arm, kw in (("mixed+feat", dict()),                    # auto = mixed tail
+                ("fused-only+feat", dict(train_step="window")),
                 ("candidate+feat", dict(use_fused=False,
                                         train_step="candidate"))):
     m = RankFM(factors=50, loss="warp", max_samples=50, alpha=0.01,
