@@ -791,8 +791,10 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
                         batch_size, chunk=128, table_bf16=False,
                         has_uf=False, has_if=False):
     """Build ``fn(tab_u, tab_i, rec, win_cols, chunkids, blk, ublk, iblk,
-    seed, eta, dreg) -> (tab_u, tab_i, ll)`` running one minibatch fully
-    fused.
+    seed, eta, dreg, x_uf, x_if, tab_uf, tab_if) ->
+    (tab_u, tab_i, tab_uf, tab_if, ll)`` running one minibatch fully
+    fused (the feature args/returns are None unless ``has_uf``/``has_if``;
+    ``dreg`` is ``[eta*2*alpha, eta*2*beta]``).
 
     ``rec [n_pad,4] int32`` the WHOLE epoch's bucketed records
     (`make_records_grouped` + the per-epoch segmented shuffle); grid step t
@@ -1054,7 +1056,11 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     Pallas call.
 
     Signature: ``epoch_fn(tab_u, tab_i, win_cols, rec, group, chunkids,
-    ublk, iblk, eta, alpha, key, epoch) -> (tab_u, tab_i, ll)`` with
+    ublk, iblk, eta, alpha, key, epoch) -> (tab_u, tab_i, ll)`` — or,
+    with ``has_uf``/``has_if``, the feature form ``epoch_fn(...,
+    x_uf, x_if, tab_uf, tab_if, beta) -> (tab_u, tab_i, tab_uf, tab_if,
+    ll)`` (HBM feature blocks from `pad_feature_cols`, packed factor
+    tables from `extend_feature_tables`) — with
     ``rec/group/chunkids/ublk/iblk`` from `make_records_grouped` and
     ``win_cols`` from `pack_win_cols` (all built once per fit); the
     per-epoch PRNG stream is ``fold_in(key, epoch)`` computed ON DEVICE so

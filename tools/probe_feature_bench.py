@@ -3,9 +3,9 @@ features (the reference's notebook workload, instacart.ipynb cells 64-70:
 factors=50, loss='warp', max_samples=50, 30 epochs, log2 sample weights,
 fit 84 s on the author's laptop).
 
-Models with side features never reach the fused kernel — this measures the
-XLA step path (auto: candidate at 33 window blocks) with x_if one-hot
-departments, and reports throughput vs the 84 s reference fit.
+Side features fuse into the Pallas kernel (round 2) — this measures the
+auto path (mixed: fused epochs + candidate tail at 33 window blocks) with
+x_if one-hot departments, and reports throughput vs the 84 s reference fit.
 
 Run on TPU: python tools/probe_feature_bench.py
 """
