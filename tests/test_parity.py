@@ -165,6 +165,8 @@ import jax  # noqa: E402
     # flagship fused path on the same data (documented windowed-negative
     # tradeoff; precision/recall must stay at parity)
     ("warp", 10, False, True, "auto", FUSED),
+    # round 2: side features FUSED into the kernel (auto at 2 blocks)
+    ("warp", 10, True, False, "auto", FUSED),
 ])
 def test_scaled_parity_vs_cpp_oracle(loss, max_samples, features, weights,
                                      step, gates):
@@ -192,3 +194,27 @@ def test_scaled_parity_vs_cpp_oracle(loss, max_samples, features, weights,
     deltas = {k: round(build[k] - oracle[k], 4) for k in METRICS}
     for m in METRICS:
         assert abs(build[m] - oracle[m]) <= gates[m], (m, deltas)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="scaled parity runs on TPU (make test-tpu)")
+@pytest.mark.skipif(native.get_oracle() is None, reason="no C++ toolchain")
+def test_scaled_parity_mixed_large_catalog():
+    """>8-window-block regime (the one where pure windowed negatives lose
+    rank sharpness): the MIXED schedule — fused epochs + candidate-step
+    tail, the 'auto' default there — must stay within +-0.03 of the
+    sequential reference-semantics oracle on every metric."""
+    rng = np.random.default_rng(13)
+    train, test = make_latent_dataset(rng, n_users=2000, n_items=10_000,
+                                      per_user=40)
+    model = RankFM(factors=16, loss="warp", max_samples=10, alpha=0.01,
+                   beta=0.1, sigma=0.1, learning_rate=0.1,
+                   learning_schedule="invscaling", seed=1492)
+    model.fit(train, epochs=18)            # auto -> mixed: 15 fused + 3 tail
+    build = evaluation.compute(model, test, k=10)
+    oracle = oracle_metrics(model, train, test, epochs=18)
+    assert oracle["hit_rate"] > 0.2, oracle
+    deltas = {k: round(build[k] - oracle[k], 4) for k in METRICS}
+    for m in METRICS:
+        assert abs(build[m] - oracle[m]) <= 0.03, (m, deltas)
