@@ -710,7 +710,9 @@ class RankFM:
             n_tail = 0
             if (self.train_step == 'mixed'
                     or (self.train_step == 'auto' and nblk_f > 8)):
-                n_tail = min(5, epochs // 6)
+                # 3 tail epochs measured better than 5 at 30 epochs
+                # (more fused pre-training, same catalog-wide finish)
+                n_tail = min(3, epochs // 6)
 
             for epoch in range(epochs - n_tail):
                 t0 = _time.time()

@@ -21,12 +21,14 @@ from rankfm_tpu import native
 
 
 def make_latent_dataset(rng, n_users=2400, n_items=1200, f_true=6,
-                        per_user=50, train_frac=0.75):
-    """(train, test) int64 [*, 2] arrays; ids are 0..U-1 / 0..I-1."""
+                        per_user=50, train_frac=0.75, sharp=1.0):
+    """(train, test) int64 [*, 2] arrays; ids are 0..U-1 / 0..I-1.
+    ``sharp`` scales the latent logits — larger catalogs need a sharper
+    preference signal for ranking metrics to sit at a learnable level."""
     zu = rng.normal(size=(n_users, f_true))
     zi = rng.normal(size=(n_items, f_true))
     pop = rng.lognormal(0.0, 1.0, n_items)
-    logits = (zu @ zi.T) / np.sqrt(f_true) + np.log(pop)[None, :]
+    logits = sharp * (zu @ zi.T) / np.sqrt(f_true) + np.log(pop)[None, :]
     # Gumbel top-k = sampling per_user DISTINCT items w.p. proportional to
     # softmax(logits), vectorized over users
     gumbel = -np.log(-np.log(rng.random((n_users, n_items))))

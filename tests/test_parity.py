@@ -207,7 +207,7 @@ def test_scaled_parity_mixed_large_catalog():
     sequential reference-semantics oracle on every metric."""
     rng = np.random.default_rng(13)
     train, test = make_latent_dataset(rng, n_users=2000, n_items=10_000,
-                                      per_user=40)
+                                      per_user=60, sharp=3.0)
     model = RankFM(factors=16, loss="warp", max_samples=10, alpha=0.01,
                    beta=0.1, sigma=0.1, learning_rate=0.1,
                    learning_schedule="invscaling", seed=1492)
