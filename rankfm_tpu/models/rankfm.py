@@ -577,13 +577,21 @@ class RankFM:
             if self._epoch_fn is None or self._epoch_fn_key != fn_key:
                 if self.mesh is not None:
                     from rankfm_tpu.parallel.train import (
-                        make_sharded_epoch_fn, place_weights)
+                        DP_TABLE_BYTES, make_sharded_epoch_fn, place_weights,
+                        place_weights_replicated)
+                    tbytes = sum(int(np.prod(v.shape)) * 4
+                                 for v in self._weights.values())
                     self._epoch_fn = make_sharded_epoch_fn(
                         self.mesh, num_items, max_samples, x_uf_any, x_if_any,
                         bs_x, sample_rounds=self.sample_rounds,
                         sampler=self._sampler, step_kind=step_kind,
+                        table_bytes=tbytes,
                     )
-                    self._weights = place_weights(self.mesh, self._weights)
+                    if tbytes <= DP_TABLE_BYTES:
+                        self._weights = place_weights_replicated(
+                            self.mesh, self._weights)
+                    else:
+                        self._weights = place_weights(self.mesh, self._weights)
                 else:
                     # the Pallas table-update packs F+2 columns (factor grad,
                     # bias grad, validity) into one 128-lane row — gate it on

@@ -1,16 +1,26 @@
 """Sharded training: the same batched BPR/WARP step compiled over a
-``(data, model)`` mesh.
+``(data, model)`` mesh — in the regime-appropriate flavor.
 
-GSPMD does the heavy lifting: with tables row-sharded over ``model`` and the
-batch sharded over ``data`` (see `rankfm_tpu.parallel.mesh`), XLA lowers
+Two regimes (SURVEY.md §2.6; the scaling-book recipe of picking the
+parallelism by where the bytes live):
 
-* embedding-row gathers -> all-gather / all-to-all exchanges over ICI,
-* the gradient scatter-adds -> scatter + psum back to owner shards,
-* dense feature-weight gradients -> psum across both axes,
+* **DP — tables fit per chip** (the overwhelmingly common case: even a
+  1M x 64 f32 item table is 256 MB). Tables REPLICATE, the batch shards
+  over every mesh axis, each device runs the unmodified single-chip step
+  on its shard with its own fold_in'd PRNG stream, and the only
+  collective is ONE psum of the weight DELTAS per batch (tables are
+  MB-class; ICI moves them in ~tens of microseconds). Expressed as an
+  explicit `shard_map` — `make_dp_epoch_fn` — because GSPMD cannot know
+  the deltas are sparse-rank-deficient and would schedule per-gather
+  exchanges instead.
 
-which is exactly the row-sharded-table + lookup-exchange design called for in
-SURVEY.md §2.6 — expressed as sharding annotations instead of hand-written
-NCCL calls.
+* **TP — tables bigger than a chip**: row-sharded tables over ``model``,
+  batch over ``data``, GSPMD lowering gathers to all-gather/all-to-all
+  exchanges and scatters to psums back to owner shards
+  (`make_sharded_train_step` / the ``dp=False`` epoch path).
+
+`make_sharded_epoch_fn` picks DP automatically when the weight pytree fits
+the per-chip budget.
 """
 
 from __future__ import annotations
@@ -86,9 +96,16 @@ def sharded_train_step(mesh, num_items, max_samples, x_uf_any, x_if_any,
 
 
 def place_weights(mesh, w):
-    """Device-put a weight pytree onto the mesh with the canonical layout."""
+    """Device-put a weight pytree onto the mesh with the canonical
+    row-sharded (TP) layout."""
     ws = weight_shardings(mesh)
     return {k: jax.device_put(v, ws[k]) for k, v in w.items()}
+
+
+def place_weights_replicated(mesh, w):
+    """Device-put a weight pytree fully replicated (the DP layout)."""
+    rep = NamedSharding(mesh, P())
+    return {k: jax.device_put(v, rep) for k, v in w.items()}
 
 
 @lru_cache(maxsize=16)
@@ -147,14 +164,109 @@ def _cached_sharded_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
                    in_shardings=in_shardings, out_shardings=(ws, rep))
 
 
+@lru_cache(maxsize=16)
+def _cached_dp_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
+                     batch_size, sample_rounds, sampler, step_kind):
+    from jax.sharding import PartitionSpec
+
+    import jax.numpy as jnp
+
+    shard_map = jax.shard_map
+
+    from rankfm_tpu.ops.training import (
+        make_train_step, make_window_train_step)
+
+    mesh = mesh_key.mesh
+    axes = tuple(mesh.axis_names)          # batch shards over EVERY axis
+    n_dev = 1
+    for v in mesh.shape.values():
+        n_dev *= v
+    assert batch_size % n_dev == 0, (batch_size, n_dev)
+    if step_kind == "window":
+        step = make_window_train_step(num_items, max_samples, x_uf_any,
+                                      x_if_any)
+    else:
+        step = make_train_step(num_items, max_samples, x_uf_any, x_if_any,
+                               sample_rounds, sampler)
+
+    rep = PartitionSpec()
+    bsh = PartitionSpec(axes)
+
+    def device_batch(w, x_uf, x_if, hist, u, i, sw, valid, eta, alpha, beta,
+                     key):
+        # distinct negative-sampling stream per device
+        idx = jax.lax.axis_index(axes[0])
+        for ax in axes[1:]:
+            idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
+        key = jax.random.fold_in(key, idx)
+        w2, ll = step(w, x_uf, x_if, hist, u, i, sw, valid,
+                      eta, alpha, beta, key)
+        # ONE table-sized collective: sum of the per-device deltas.
+        # (Linearizes the per-touch decay across devices — the same
+        # approximation the chunked single-chip paths already make.)
+        delta = jax.tree.map(lambda a, b: jax.lax.psum(a - b, axes), w2, w)
+        ll = jax.lax.psum(ll, axes)
+        return jax.tree.map(jnp.add, w, delta), ll
+
+    sharded_step = shard_map(
+        device_batch, mesh=mesh,
+        in_specs=(rep, rep, rep, rep, bsh, bsh, bsh, bsh,
+                  rep, rep, rep, rep),
+        out_specs=(rep, rep),
+        check_vma=False)
+
+    def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta,
+                 key, epoch):
+        n_pad = u.shape[0]
+        nb = n_pad // batch_size
+        kperm, ksamp = jax.random.split(jax.random.fold_in(key, epoch))
+        perm = jax.random.permutation(kperm, n_pad)
+        valid = perm < n_real
+        ub = u[perm].reshape(nb, batch_size)
+        ib = i[perm].reshape(nb, batch_size)
+        swb = sw[perm].reshape(nb, batch_size)
+        vb = valid.reshape(nb, batch_size)
+
+        def body(carry, xs):
+            wc = carry
+            ub_, ib_, swb_, vb_, t = xs
+            wc, ll = sharded_step(wc, x_uf, x_if, hist, ub_, ib_, swb_, vb_,
+                                  eta, alpha, beta,
+                                  jax.random.fold_in(ksamp, t))
+            return wc, ll
+
+        w, lls = jax.lax.scan(body, w, (ub, ib, swb, vb, jnp.arange(nb)))
+        return w, jnp.sum(lls)
+
+    rep_sh = NamedSharding(mesh, P())
+    bsh_named = NamedSharding(mesh, P(axes))
+    in_shardings = (rep_sh, rep_sh, rep_sh, rep_sh,
+                    bsh_named, bsh_named, bsh_named, rep_sh, rep_sh, rep_sh,
+                    rep_sh, rep_sh)
+    return jax.jit(epoch_fn, static_argnums=(7,), donate_argnums=(0,),
+                   in_shardings=in_shardings,
+                   out_shardings=(rep_sh, rep_sh))
+
+
+# weight pytrees under this many bytes replicate per chip and train
+# data-parallel (deltas psum'd once per batch); larger tables row-shard
+DP_TABLE_BYTES = 256 * 2**20
+
+
 def make_sharded_epoch_fn(mesh, num_items, max_samples, x_uf_any, x_if_any,
                           batch_size, sample_rounds=8, sampler="bsearch",
-                          step_kind="window"):
-    """Whole-epoch training compiled over the mesh: tables stay row-sharded
-    across devices for the entire epoch scan; same signature as
+                          step_kind="window", dp=None, table_bytes=0):
+    """Whole-epoch training compiled over the mesh; same signature as
     `rankfm_tpu.ops.training.make_epoch_fn` (``hist`` is the blocked history
     pack for ``step_kind='window'``, the CSR/bitmap dict for
-    ``'candidate'``)."""
-    return _cached_sharded_epoch(_MeshKey(mesh), num_items, max_samples,
-                                 bool(x_uf_any), bool(x_if_any), batch_size,
-                                 sample_rounds, sampler, step_kind)
+    ``'candidate'``).
+
+    ``dp=None`` picks data-parallel (replicated tables, one delta-psum per
+    batch) when ``table_bytes`` fits `DP_TABLE_BYTES`, else the row-sharded
+    GSPMD path. Pass ``dp=True/False`` to force."""
+    if dp is None:
+        dp = table_bytes <= DP_TABLE_BYTES
+    maker = _cached_dp_epoch if dp else _cached_sharded_epoch
+    return maker(_MeshKey(mesh), num_items, max_samples,
+                 bool(x_uf_any), bool(x_if_any), batch_size,
+                 sample_rounds, sampler, step_kind)

@@ -164,28 +164,42 @@ def test_sharded_epoch_uses_window_step_and_stays_fast():
     w1, ll1 = single({k: v.copy() for k, v in w.items()}, *args)
     jax.block_until_ready(w1)
 
+    from rankfm_tpu.parallel.train import place_weights_replicated
+
     mesh = make_mesh(data=2, model=4)
+    # default = DP (tables fit): replicated weights, one delta-psum/batch
     sharded = make_sharded_epoch_fn(mesh, I, 4, False, False, bs,
                                     step_kind="window")
-    w_sh = place_weights(mesh, {k: v.copy() for k, v in w.items()})
+    w_sh = place_weights_replicated(mesh, {k: v.copy() for k, v in w.items()})
     w2, ll2 = sharded(w_sh, *args)
     jax.block_until_ready(w2)
     assert np.isfinite(float(ll2))
     assert float(jnp.abs(w2["v_u"] - w["v_u"]).max()) > 0  # trained
 
-    def best_of(fn, wt, k=3):
+    # the row-sharded (TP) path stays available for giant tables
+    tp = make_sharded_epoch_fn(mesh, I, 4, False, False, bs,
+                               step_kind="window", dp=False)
+    w3, ll3 = tp(place_weights(mesh, {k: v.copy() for k, v in w.items()}),
+                 *args)
+    jax.block_until_ready(w3)
+    assert np.isfinite(float(ll3))
+
+    def best_of(fn, place, k=3):
         t = float("inf")
         for _ in range(k):
-            wc = {kk: v.copy() for kk, v in wt.items()}
+            wc = place({kk: v.copy() for kk, v in w.items()})
             t0 = time.time()
             _, ll = fn(wc, *args)
             jax.block_until_ready(ll)
             t = min(t, time.time() - t0)
         return t
 
-    t1 = best_of(single, w)
-    t8 = best_of(sharded, place_weights(mesh, w))
-    assert t8 < 6 * t1 + 0.25, (t8, t1)
+    t1 = best_of(single, lambda x: x)
+    t8 = best_of(sharded, lambda x: place_weights_replicated(mesh, x))
+    # on the shared-core virtual mesh the DP program does the same global
+    # work plus one table-sized psum per batch — gate the overhead hard
+    # (the old GSPMD schedule blew past 10x on bigger shapes)
+    assert t8 < 2.5 * t1 + 0.25, (t8, t1)
 
 
 def test_weight_shardings_cover_pytree():

@@ -1,0 +1,83 @@
+"""Collective-overhead measurement for the sharded training path.
+
+Real multi-chip hardware is not available in this environment (one chip
+behind a tunnel), so true scaling efficiency cannot be measured directly.
+What CAN be measured — and what this probe reports — is the sharded
+program's OVERHEAD: on an 8-virtual-device CPU mesh every device shares
+the same cores, so the global work is identical to the single-device run
+and any slowdown is pure partitioning/collective cost (all-gathers,
+psums, reshards GSPMD inserts). t_mesh/t_single ~ 1 means the collective
+schedule adds ~nothing; on real chips, where each device does 1/8 of the
+work and table-sized collectives ride >100 GB/s ICI, per-chip efficiency
+is bounded below by 1/(t_mesh/t_single).
+
+Run: JAX_PLATFORMS=cpu python tools/probe_mesh_scaling.py
+(or let the conftest-style config force 8 CPU devices, as here.)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import jax.numpy as jnp
+import numpy as np
+
+from rankfm_tpu.ops.fused import pack_history_device
+from rankfm_tpu.ops.training import make_epoch_fn
+from rankfm_tpu.parallel.mesh import make_mesh
+from rankfm_tpu.parallel.train import (make_sharded_epoch_fn, place_weights,
+                                       place_weights_replicated)
+
+U, I, F, n, bs = 2048, 2048, 32, 131_072, 8192
+rng = np.random.default_rng(9)
+w = {
+    "w_i": jnp.zeros(I), "w_if": jnp.zeros(1),
+    "v_u": jnp.asarray(rng.normal(0, .1, (U, F)).astype(np.float32)),
+    "v_i": jnp.asarray(rng.normal(0, .1, (I, F)).astype(np.float32)),
+    "v_uf": jnp.zeros((1, F)), "v_if": jnp.zeros((1, F)),
+}
+x_uf, x_if = jnp.zeros((U, 1)), jnp.zeros((I, 1))
+u = rng.integers(0, U, n).astype(np.int32)
+i = rng.integers(0, I, n).astype(np.int32)
+uniq = np.unique(np.stack([u, i], 1), axis=0)
+counts = np.bincount(uniq[:, 0], minlength=U)
+offsets = np.zeros(U + 1, np.int32)
+offsets[1:] = np.cumsum(counts)
+hist = pack_history_device(offsets, uniq[:, 1].astype(np.int32), U, I)
+args = (x_uf, x_if, hist, jnp.asarray(u), jnp.asarray(i), jnp.ones(n), n,
+        jnp.float32(0.1), jnp.float32(0.01), jnp.float32(0.1),
+        jax.random.PRNGKey(3), 0)
+
+single = make_epoch_fn(I, 10, False, False, bs, donate=False,
+                       step_kind="window")
+mesh = make_mesh(data=4, model=2)
+dp = make_sharded_epoch_fn(mesh, I, 10, False, False, bs,
+                           step_kind="window")          # default: DP
+tp = make_sharded_epoch_fn(mesh, I, 10, False, False, bs,
+                           step_kind="window", dp=False)
+
+
+def best_of(fn, wt, k=4):
+    best = float("inf")
+    for _ in range(k):
+        wc = {kk: v.copy() for kk, v in wt.items()}
+        t0 = time.time()
+        _, ll = fn(wc, *args)
+        jax.block_until_ready(ll)
+        best = min(best, time.time() - t0)
+    return best
+
+
+t1 = best_of(single, w)
+t_dp = best_of(dp, place_weights_replicated(mesh, w))
+t_tp = best_of(tp, place_weights(mesh, w))
+print(f"single-device epoch: {t1*1e3:.0f} ms | DP mesh (delta-psum): "
+      f"{t_dp*1e3:.0f} ms | TP mesh (row-sharded GSPMD): {t_tp*1e3:.0f} ms")
+print(f"DP collective overhead: {(t_dp/t1 - 1)*100:+.0f}%  ->  projected "
+      f"per-chip efficiency floor on real devices: "
+      f"{min(1.0, t1/t_dp)*100:.0f}%")
