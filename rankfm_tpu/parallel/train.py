@@ -266,6 +266,11 @@ def make_sharded_epoch_fn(mesh, num_items, max_samples, x_uf_any, x_if_any,
     GSPMD path. Pass ``dp=True/False`` to force."""
     if dp is None:
         dp = table_bytes <= DP_TABLE_BYTES
+    n_dev = 1
+    for v in mesh.shape.values():
+        n_dev *= v
+    if dp and batch_size % n_dev != 0:
+        dp = False          # batch not evenly shardable -> GSPMD path
     maker = _cached_dp_epoch if dp else _cached_sharded_epoch
     return maker(_MeshKey(mesh), num_items, max_samples,
                  bool(x_uf_any), bool(x_if_any), batch_size,

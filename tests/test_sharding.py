@@ -202,6 +202,36 @@ def test_sharded_epoch_uses_window_step_and_stays_fast():
     assert t8 < 2.5 * t1 + 0.25, (t8, t1)
 
 
+def test_sharded_epoch_indivisible_batch_falls_back():
+    """batch_size not divisible by the device count can't shard per-device
+    (the shard_map DP path asserts) — dispatch must quietly take the GSPMD
+    path instead of raising at trace time."""
+    from rankfm_tpu.ops.fused import pack_history_device
+    from rankfm_tpu.parallel.train import make_sharded_epoch_fn
+
+    rng = np.random.default_rng(11)
+    U, I, n, bs = 64, 64, 600, 100          # 100 % 8 != 0, 100 % 2 == 0
+    w, x_uf, x_if = _toy(rng, U=U, I=I, F=8, P=1, Q=1)
+    x_uf = jnp.zeros((U, 1)); x_if = jnp.zeros((I, 1))
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    uniq = np.unique(np.stack([u, i], 1), axis=0)
+    counts = np.bincount(uniq[:, 0], minlength=U)
+    offsets = np.zeros(U + 1, np.int32)
+    offsets[1:] = np.cumsum(counts)
+    hist = pack_history_device(offsets, uniq[:, 1].astype(np.int32), U, I)
+
+    mesh = make_mesh(data=2, model=4)
+    fn = make_sharded_epoch_fn(mesh, I, 4, False, False, bs,
+                               step_kind="window")   # dp=None -> wants DP
+    w_sh = place_weights(mesh, {k: v.copy() for k, v in w.items()})
+    w2, ll = fn(w_sh, x_uf, x_if, hist, jnp.asarray(u), jnp.asarray(i),
+                jnp.ones(n), n, jnp.float32(0.1), jnp.float32(0.01),
+                jnp.float32(0.1), jax.random.PRNGKey(3), 0)
+    jax.block_until_ready(w2)
+    assert np.isfinite(float(ll))
+
+
 def test_weight_shardings_cover_pytree():
     mesh = make_mesh(data=2, model=4)
     ws = weight_shardings(mesh)
