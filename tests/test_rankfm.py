@@ -387,6 +387,28 @@ def test_evaluation_metrics_match_hand_computed_oracle():
     assert evaluation.recall(model, test, k=k) == pytest.approx(np.mean(recalls))
 
 
+def test_diversity_contract():
+    """diversity returns cnt/pct of users recommended each catalog item
+    (`/root/reference/rankfm/evaluation.py:146-175`): one row per training
+    item, counts conserve users*k, pct = cnt / n_test_users, sorted desc."""
+    from rankfm_tpu import evaluation
+
+    rng = np.random.default_rng(7)
+    train = np.stack([rng.integers(0, 6, 120), rng.integers(0, 12, 120)], 1)
+    model = RankFM(factors=4, batch_size=64)
+    model.fit(train, epochs=2)
+
+    test = np.array([[0, 1], [1, 3], [2, 4], [5, 2]])
+    k = 4
+    div = evaluation.diversity(model, test, k=k)
+    assert list(div.columns) == ["item_id", "cnt_users", "pct_users"]
+    assert set(div["item_id"]) == set(model.item_id.values)  # full catalog
+    n_users = 4  # all test users were in training
+    assert div["cnt_users"].sum() == n_users * k
+    np.testing.assert_allclose(div["pct_users"], div["cnt_users"] / n_users)
+    assert (np.diff(div["cnt_users"].values) <= 0).all()  # sorted desc
+
+
 def test_mixed_train_step_accepted_and_fits():
     """'mixed' is a valid train_step: on large catalogs the fused path
     finishes with a candidate-step tail (TPU); off-TPU it degrades to the
