@@ -610,6 +610,12 @@ class RankFM:
                         # histories are sparse relative to the catalog
                         post_reject=density < 0.02,
                     )
+                    # AOT warm-start (see fused path below): skip the
+                    # cold compile when a serialized executable exists
+                    from rankfm_tpu.utils import aotcache
+                    self._epoch_fn = aotcache.wrap(
+                        self._epoch_fn, key_parts=fn_key, tag="xla_epoch",
+                        static_argnums=(7,))  # n_real, as in make_epoch_fn
                 self._epoch_fn_key = fn_key
 
             w = self._weights
@@ -675,6 +681,16 @@ class RankFM:
             epoch_fn = fused_mod.make_fused_epoch_fn(
                 U, num_items, F, max_samples, bs, chunk=chunk,
                 table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any)
+            # AOT warm-start: the fused program's ~70 s compile dominates
+            # cold warmup, and the backend's persistent-cache key drifts
+            # across processes for Mosaic programs — cache the serialized
+            # executable under our own content key instead
+            from rankfm_tpu.utils import aotcache
+            epoch_fn = aotcache.wrap(
+                epoch_fn,
+                key_parts=(U, num_items, F, max_samples, bs, chunk,
+                           table_bf16, x_uf_any, x_if_any),
+                tag="fused_epoch")
             # side features: lane-padded HBM feature blocks + the packed
             # small factor tables (v_uf / w_if+v_if) the kernel keeps in VMEM
             has_feat = x_uf_any or x_if_any

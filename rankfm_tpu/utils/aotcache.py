@@ -1,0 +1,186 @@
+"""Second-level AOT executable cache for the hot fit programs.
+
+JAX's persistent compilation cache keys on the serialized module plus
+backend-supplied components; on some remote-TPU backends the key drifts
+across processes for Mosaic-bearing programs even when the host-side
+lowering is bit-identical, so the ~70 s cold compile of the fused epoch
+program is paid on every fresh process. This module sidesteps key
+computation entirely: it AOT-compiles the jitted function once
+(`fn.lower(*args).compile()`), serializes the executable with
+`jax.experimental.serialize_executable`, and stores it under a key WE
+compute — package source hash + jax/backend identity + argument avals +
+caller config. A later process deserializes and runs without compiling.
+
+Always best-effort: any failure (backend without executable
+serialization, stale payload, sharding mismatch at call time) falls back
+to the ordinary jitted function. Opt out with RANKFM_TPU_NO_CACHE=1 or
+RANKFM_TPU_AOT_CACHE=0; force on (e.g. for tests on CPU) with
+RANKFM_TPU_AOT_CACHE=1.
+"""
+
+import hashlib
+import os
+import pickle
+import tempfile
+
+import jax
+
+_SRC_HASH = None
+
+
+def _source_hash():
+    """Content hash of the package's Python sources — invalidates cached
+    executables whenever any compute-path code changes."""
+    global _SRC_HASH
+    if _SRC_HASH is None:
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
+            dirnames.sort()
+            for fn in sorted(filenames):
+                if fn.endswith(".py"):
+                    p = os.path.join(dirpath, fn)
+                    h.update(fn.encode())
+                    with open(p, "rb") as fh:
+                        h.update(fh.read())
+        _SRC_HASH = h.hexdigest()[:16]
+    return _SRC_HASH
+
+
+def cache_dir():
+    base = os.environ.get(
+        "RANKFM_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "rankfm_tpu_xla"))
+    return os.path.join(base, "aot")
+
+
+def enabled():
+    if os.environ.get("RANKFM_TPU_NO_CACHE"):
+        return False
+    v = os.environ.get("RANKFM_TPU_AOT_CACHE")
+    if v is not None:
+        return v not in ("0", "false", "")
+    # default: only where it pays — the TPU backend with the drifting
+    # first-level key. CPU AOT payloads embed host ISA features and the
+    # first-level cache works there anyway.
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _aval_sig(x):
+    if hasattr(x, "shape") and hasattr(x, "dtype"):
+        return (tuple(x.shape), str(x.dtype))
+    if isinstance(x, (int, bool, str)) or x is None:
+        # static arguments (e.g. a baked-in row count) select different
+        # programs — their VALUES belong in the key. Python floats are
+        # always traced in the hot programs (eta/alpha/beta), so only
+        # their type is keyed to avoid fragmenting the cache per epoch.
+        return ("pyval", x)
+    return (type(x).__name__,)
+
+
+def _args_sig(args):
+    leaves, treedef = jax.tree_util.tree_flatten(
+        args, is_leaf=lambda x: x is None)
+    return (str(treedef), tuple(_aval_sig(leaf) for leaf in leaves))
+
+
+def _backend_sig():
+    dev = jax.devices()[0]
+    client = dev.client
+    return (jax.__version__, client.platform, getattr(dev, "device_kind", ""),
+            getattr(client, "platform_version", ""))
+
+
+def _key(tag, key_parts, args):
+    payload = repr((tag, _source_hash(), _backend_sig(), tuple(key_parts),
+                    _args_sig(args))).encode()
+    return hashlib.sha256(payload).hexdigest()[:32]
+
+
+def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
+    """Wrap a jitted function with the AOT cache. Returns a callable with
+    the same signature. On the first invocation it computes the cache key
+    from the actual arguments, loads a previously serialized executable if
+    present (skipping compilation), otherwise AOT-compiles and stores it.
+    Any failure at any step degrades to calling `jitted` directly.
+
+    Donation semantics are preserved (the serialized executable retains
+    the jit's donate_argnums). `static_argnums` must mirror the jit's: a
+    DESERIALIZED executable takes only the dynamic arguments (the statics
+    were baked in at compile time — their values are part of the cache
+    key, so a payload is only ever replayed with matching statics).
+    Keyword arguments are not supported — the hot fit programs are
+    positional-only.
+    """
+    if not enabled():
+        return jitted
+
+    static_set = frozenset(static_argnums)
+    state = {"fn": None}
+
+    def _dynamic(args):
+        return tuple(a for i, a in enumerate(args) if i not in static_set)
+
+    def call(*args):
+        if state["fn"] is not None:
+            return state["fn"](*args)
+        fn = jitted
+        try:
+            from jax.experimental.serialize_executable import (
+                deserialize_and_load, serialize)
+            key = _key(tag, key_parts, args)
+            fn = _LOADED.get(key)
+            if fn is None:
+                path = os.path.join(cache_dir(), f"{tag}-{key}.pkl")
+                if os.path.exists(path):
+                    with open(path, "rb") as fh:
+                        payload, in_tree, out_tree = pickle.load(fh)
+                    # the cached fit programs are single-device; without
+                    # an explicit device list the loader targets ALL
+                    # addressable devices and execution then demands
+                    # N-sharded inputs
+                    loaded = deserialize_and_load(
+                        payload, in_tree, out_tree,
+                        execution_devices=[jax.devices()[0]])
+                    fn = (lambda *a: loaded(*_dynamic(a))) \
+                        if static_set else loaded
+                else:
+                    compiled = jitted.lower(*args).compile()
+                    payload, in_tree, out_tree = serialize(compiled)
+                    os.makedirs(cache_dir(), exist_ok=True)
+                    f = tempfile.NamedTemporaryFile(
+                        dir=cache_dir(), suffix=".tmp", delete=False)
+                    try:
+                        with f:
+                            pickle.dump((payload, in_tree, out_tree), f)
+                        os.replace(f.name, path)
+                    except Exception:
+                        os.unlink(f.name)
+                        raise
+                    fn = compiled
+                _LOADED[key] = fn
+        except Exception:
+            fn = jitted
+        try:
+            out = fn(*args)
+        except Exception:
+            if fn is jitted:
+                raise
+            # deserialized executable rejected the call (layout/sharding
+            # mismatch happens BEFORE dispatch, so donated buffers are
+            # intact) — recompile through the normal jit path
+            fn = jitted
+            out = fn(*args)
+        state["fn"] = fn
+        return out
+
+    return call
+
+
+# in-process memo of loaded/compiled executables so repeated fits don't
+# re-read payloads from disk (keyed by the full content key, so different
+# data shapes never collide)
+_LOADED = {}
