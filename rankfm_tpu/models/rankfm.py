@@ -67,7 +67,7 @@ class RankFM:
                  sigma=0.1, learning_rate=0.1, learning_schedule='constant',
                  learning_exponent=0.25, *, batch_size=None, seed=1492,
                  sample_rounds=8, neg_sampler='auto', use_fused='auto',
-                 train_step='auto', mesh=None):
+                 train_step='auto', tail_windows=None, mesh=None):
         """store hyperparameters and initialize internal model state
 
         :param factors: latent factor rank
@@ -103,6 +103,11 @@ class RankFM:
             Instacart-class catalogs), or 'auto' (window through 8 window
             blocks; mixed beyond when the fused kernel is running,
             candidate otherwise)
+        :param tail_windows: (experimental) when the mixed schedule would
+            run a candidate-step tail, instead finish with fused epochs
+            drawing this many negative windows per chunk (wider catalog
+            exposure at a fraction of the candidate step's cost); None =
+            keep the candidate tail
         :param mesh: optional `jax.sharding.Mesh` with axes ('data', 'model')
             for sharded tables/batches; None = single-device
         """
@@ -134,7 +139,11 @@ class RankFM:
             "[use_fused] must be in (True, False, 'auto')"
         assert train_step in ('auto', 'window', 'candidate', 'mixed'), \
             "[train_step] must be in ('auto', 'window', 'candidate', 'mixed')"
+        assert tail_windows is None or (
+            isinstance(tail_windows, int) and tail_windows >= 1), \
+            "[tail_windows] must be None or a positive integer"
         self.train_step = train_step
+        self.tail_windows = tail_windows
         self.batch_size = batch_size
         self.seed = seed
         self.sample_rounds = sample_rounds
@@ -737,6 +746,25 @@ class RankFM:
                 # 3 tail epochs measured better than 5 at 30 epochs
                 # (more fused pre-training, same catalog-wide finish)
                 n_tail = min(3, epochs // 6)
+            # wide-window tail: same fused kernel, more negative windows
+            # per chunk — catalog exposure approaching the candidate step
+            # at a fraction of its cost (experimental; see tail_windows)
+            wide_tail_fn = None
+            if n_tail and self.tail_windows and self.tail_windows > 1:
+                nw_tail = min(self.tail_windows, nblk_f,
+                              fused_mod.max_n_windows(
+                                  U, num_items, table_bf16,
+                                  x_uf_any, x_if_any))
+                if nw_tail > fused_mod.default_n_windows(nblk_f):
+                    wide_tail_fn = fused_mod.make_fused_epoch_fn(
+                        U, num_items, F, max_samples, bs, chunk=chunk,
+                        table_bf16=table_bf16, has_uf=x_uf_any,
+                        has_if=x_if_any, n_windows=nw_tail)
+                    wide_tail_fn = aotcache.wrap(
+                        wide_tail_fn,
+                        key_parts=(U, num_items, F, max_samples, bs, chunk,
+                                   table_bf16, x_uf_any, x_if_any, nw_tail),
+                        tag="fused_epoch")
 
             for epoch in range(epochs - n_tail):
                 t0 = _time.time()
@@ -756,11 +784,32 @@ class RankFM:
                     # pulled back each epoch (`_rankfm.pyx:328-336`)
                     _pull_back()
                 _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
-            _pull_back()
-            if n_tail:
-                _run_xla_epochs(range(epochs - n_tail, epochs),
-                                step_kind='candidate')
-            _finish_epochs()
+            if n_tail and wide_tail_fn is not None:
+                for epoch in range(epochs - n_tail, epochs):
+                    t0 = _time.time()
+                    if has_feat:
+                        tab_u, tab_i, tab_uf, tab_if, ll = wide_tail_fn(
+                            tab_u, tab_i, self._win_cols, rec_dev, group_dev,
+                            cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
+                            float(self.alpha), base_key, epoch,
+                            xuf_pad, xif_pad, tab_uf, tab_if,
+                            float(self.beta))
+                    else:
+                        tab_u, tab_i, ll = wide_tail_fn(
+                            tab_u, tab_i, self._win_cols, rec_dev, group_dev,
+                            cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
+                            float(self.alpha), base_key, epoch)
+                    if verbose:
+                        _pull_back()
+                    _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
+                _pull_back()
+                _finish_epochs()
+            else:
+                _pull_back()
+                if n_tail:
+                    _run_xla_epochs(range(epochs - n_tail, epochs),
+                                    step_kind='candidate')
+                _finish_epochs()
         else:
             _run_xla_epochs(range(epochs))
             _finish_epochs()

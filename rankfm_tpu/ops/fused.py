@@ -123,6 +123,15 @@ def item_pad(num_items):
 FUSED_NBLK_CAP = 64
 
 
+def default_n_windows(nblk):
+    """Negative windows per chunk: 1 below 9 blocks (exactly
+    catalog-uniform draws), 4 beyond (coverage; see `make_fused_batch_fn`
+    for the tail-block skew tradeoff). Overridable per-program via the
+    ``n_windows`` argument of `make_fused_epoch_fn` — e.g. a wide-window
+    tail on big catalogs."""
+    return 1 if nblk <= 8 else min(4, nblk)
+
+
 def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
                      vmem_table_budget=13 * 2**20, num_uf=0, num_if=0):
     """How the fused kernel can run this configuration.
@@ -150,7 +159,7 @@ def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
         return None
     rows = _round_up(num_users, 8) + i_pad
     blk = block_size(num_items)
-    nw = 1 if nblk <= 8 else min(4, nblk)
+    nw = default_n_windows(nblk)
     def scratch(width):
         # feature-block scratch is table-dtype (f32 or bf16); the packed
         # factor tables themselves stay f32 but are one 64 KB tile each
@@ -174,6 +183,31 @@ def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
     return fused_table_mode(num_users, num_items, factors, x_uf_any,
                             x_if_any, vmem_table_budget,
                             num_uf=num_uf, num_if=num_if) is not None
+
+
+def max_n_windows(num_users, num_items, table_bf16, x_uf_any=False,
+                  x_if_any=False, vmem_budget=15 * 2**20):
+    """Largest per-chunk negative-window count whose VMEM scratch fits.
+
+    Besides the tables, each extra window costs ``UB x 128`` int32 of
+    membership-column scratch (`win_scratch`) plus, with item features, a
+    ``BLK x 128`` feature-block slot. Used to clamp the `tail_windows`
+    override before building a wide-window program that Mosaic would
+    reject for VMEM oversubscription.
+    """
+    width = 2 if table_bf16 else 4
+    blk = block_size(num_items)
+    fixed = (user_pad(num_users) + item_pad(num_items)) * LANES * width
+    if x_uf_any:
+        fixed += user_block(num_users) * LANES * width + LANES * LANES * 4
+    if x_if_any:
+        fixed += blk * LANES * width + LANES * LANES * 4  # positive block
+    per_window = user_block(num_users) * LANES * 4
+    if x_if_any:
+        per_window += blk * LANES * width
+    nblk = item_pad(num_items) // blk
+    nw = (vmem_budget - fixed) // per_window
+    return int(max(0, min(nw, nblk)))
 
 
 def _pack_coords(items, blk):
@@ -789,7 +823,7 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
 @lru_cache(maxsize=16)
 def make_fused_batch_fn(num_users, num_items, factors, max_samples,
                         batch_size, chunk=128, table_bf16=False,
-                        has_uf=False, has_if=False):
+                        has_uf=False, has_if=False, n_windows=None):
     """Build ``fn(tab_u, tab_i, rec, win_cols, chunkids, blk, ublk, iblk,
     seed, eta, dreg, x_uf, x_if, tab_uf, tab_if) ->
     (tab_u, tab_i, tab_uf, tab_if, ll)`` running one minibatch fully
@@ -832,7 +866,8 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     # NW = 1 for exactly catalog-uniform negatives; big catalogs trade the
     # tiny tail-block skew for 4x the negative coverage per chunk.
     NBLK_ = I_pad // BLK
-    NW = 1 if NBLK_ <= 8 else min(4, NBLK_)
+    NW = default_n_windows(NBLK_) if n_windows is None else n_windows
+    assert 1 <= NW <= NBLK_, (NW, NBLK_)
     tdt = jnp.bfloat16 if table_bf16 else jnp.float32
     kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
                    M=max_samples, C=C, BLK=BLK, NW=NW,
@@ -981,14 +1016,15 @@ def pack_win_cols(packed_hist, num_users, num_items):
     return _pad_win_cols(packed_hist, user_pad(num_users), NBLK, LW)
 
 
-def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
+def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
+                n_windows=None):
     """Shared single-epoch logic: ONE segmented-shuffle sort (the layout is
     fixed at fit time, `make_records_grouped`) + a batch-order rotation +
     a scan whose body is ONLY the fused Pallas call."""
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     NBLK = I_pad // BLK
-    NW = 1 if NBLK <= 8 else min(4, NBLK)
+    NW = default_n_windows(NBLK) if n_windows is None else n_windows
     nT = batch_size // chunk
     # negatives must be uniform over the CATALOG: draw each window block
     # with probability proportional to its REAL item count (the tail block
@@ -1049,7 +1085,7 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk):
 @lru_cache(maxsize=16)
 def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
                         chunk=128, donate=True, table_bf16=False,
-                        has_uf=False, has_if=False):
+                        has_uf=False, has_if=False, n_windows=None):
     """Whole-epoch driver around the fused kernel: one segmented-shuffle
     sort per epoch (the bucketed layout is fixed at fit time,
     `make_records_grouped`), then a `lax.scan` whose body is only the
@@ -1069,9 +1105,10 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     """
     batch_fn = make_fused_batch_fn(
         num_users, num_items, factors, max_samples, batch_size, chunk,
-        table_bf16=table_bf16, has_uf=has_uf, has_if=has_if)
+        table_bf16=table_bf16, has_uf=has_uf, has_if=has_if,
+        n_windows=n_windows)
     one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size,
-                            chunk)
+                            chunk, n_windows=n_windows)
 
     if has_uf or has_if:
         def epoch_fn(tab_u, tab_i, win_cols, rec, group, chunkids, ublk,

@@ -163,6 +163,9 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
                     fn = compiled
                 _LOADED[key] = fn
         except Exception:
+            if os.environ.get("RANKFM_TPU_AOT_DEBUG"):
+                import traceback
+                traceback.print_exc()
             fn = jitted
         try:
             out = fn(*args)
