@@ -67,7 +67,8 @@ class RankFM:
                  sigma=0.1, learning_rate=0.1, learning_schedule='constant',
                  learning_exponent=0.25, *, batch_size=None, seed=1492,
                  sample_rounds=8, neg_sampler='auto', use_fused='auto',
-                 train_step='auto', tail_windows=None, mesh=None):
+                 train_step='auto', tail_windows=None, mesh=None,
+                 dp_sync_every=1):
         """store hyperparameters and initialize internal model state
 
         :param factors: latent factor rank
@@ -110,6 +111,11 @@ class RankFM:
             keep the candidate tail
         :param mesh: optional `jax.sharding.Mesh` with axes ('data', 'model')
             for sharded tables/batches; None = single-device
+        :param dp_sync_every: on the data-parallel mesh path, accumulate
+            this many batches of local updates per replica before each
+            weight-delta psum (local SGD). 1 (default) = sync every batch
+            (ICI-linked chips); raise it when hosts are linked by DCN and
+            the per-batch table-sized collective dominates the step
         """
 
         # validate user input (messages match `rankfm.py:30-38`)
@@ -142,8 +148,11 @@ class RankFM:
         assert tail_windows is None or (
             isinstance(tail_windows, int) and tail_windows >= 1), \
             "[tail_windows] must be None or a positive integer"
+        assert isinstance(dp_sync_every, int) and dp_sync_every >= 1, \
+            "[dp_sync_every] must be a positive integer"
         self.train_step = train_step
         self.tail_windows = tail_windows
+        self.dp_sync_every = dp_sync_every
         self.batch_size = batch_size
         self.seed = seed
         self.sample_rounds = sample_rounds
@@ -582,6 +591,7 @@ class RankFM:
                     step_kind = self.train_step
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs_x,
                       n_pad, self._sampler, self.mesh is not None, step_kind,
+                      self.dp_sync_every,
                       tuple(v.shape for v in self._weights.values()))
             if self._epoch_fn is None or self._epoch_fn_key != fn_key:
                 if self.mesh is not None:
@@ -595,6 +605,7 @@ class RankFM:
                         bs_x, sample_rounds=self.sample_rounds,
                         sampler=self._sampler, step_kind=step_kind,
                         table_bytes=tbytes,
+                        dp_sync_every=self.dp_sync_every,
                     )
                     if tbytes <= DP_TABLE_BYTES:
                         self._weights = place_weights_replicated(

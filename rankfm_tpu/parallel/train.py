@@ -166,7 +166,8 @@ def _cached_sharded_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
 
 @lru_cache(maxsize=16)
 def _cached_dp_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
-                     batch_size, sample_rounds, sampler, step_kind):
+                     batch_size, sample_rounds, sampler, step_kind,
+                     sync_every=1):
     from jax.sharding import PartitionSpec
 
     import jax.numpy as jnp
@@ -190,7 +191,7 @@ def _cached_dp_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
                                sample_rounds, sampler)
 
     rep = PartitionSpec()
-    bsh = PartitionSpec(axes)
+    bsh = PartitionSpec(None, axes)   # [K, batch]: batch axis sharded
 
     def device_batch(w, x_uf, x_if, hist, u, i, sw, valid, eta, alpha, beta,
                      key):
@@ -199,13 +200,24 @@ def _cached_dp_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
         for ax in axes[1:]:
             idx = idx * mesh.shape[ax] + jax.lax.axis_index(ax)
         key = jax.random.fold_in(key, idx)
-        w2, ll = step(w, x_uf, x_if, hist, u, i, sw, valid,
-                      eta, alpha, beta, key)
+        # u/i/sw/valid arrive stacked [K, bs/ndev]: K local steps on this
+        # device's replica, then ONE delta-psum for the whole group.
+        # K = 1 reproduces per-batch sync exactly; K > 1 is local SGD —
+        # replicas drift for K batches, the merge sums their deltas. The
+        # collective volume drops K-fold: the lever for DCN-linked hosts,
+        # where a per-batch table-sized psum would dominate the step.
+        def local(carry, xs):
+            wl, t = carry
+            ul, il, swl, vl = xs
+            wl, ll = step(wl, x_uf, x_if, hist, ul, il, swl, vl,
+                          eta, alpha, beta, jax.random.fold_in(key, t))
+            return (wl, t + 1), ll
+        (w2, _), lls = jax.lax.scan(local, (w, 0), (u, i, sw, valid))
         # ONE table-sized collective: sum of the per-device deltas.
         # (Linearizes the per-touch decay across devices — the same
         # approximation the chunked single-chip paths already make.)
         delta = jax.tree.map(lambda a, b: jax.lax.psum(a - b, axes), w2, w)
-        ll = jax.lax.psum(ll, axes)
+        ll = jax.lax.psum(jnp.sum(lls), axes)
         return jax.tree.map(jnp.add, w, delta), ll
 
     sharded_step = shard_map(
@@ -219,13 +231,16 @@ def _cached_dp_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
                  key, epoch):
         n_pad = u.shape[0]
         nb = n_pad // batch_size
+        # largest group size <= sync_every that divides the batch count
+        k = max(d for d in range(1, min(sync_every, nb) + 1) if nb % d == 0)
+        ng = nb // k
         kperm, ksamp = jax.random.split(jax.random.fold_in(key, epoch))
         perm = jax.random.permutation(kperm, n_pad)
         valid = perm < n_real
-        ub = u[perm].reshape(nb, batch_size)
-        ib = i[perm].reshape(nb, batch_size)
-        swb = sw[perm].reshape(nb, batch_size)
-        vb = valid.reshape(nb, batch_size)
+        ub = u[perm].reshape(ng, k, batch_size)
+        ib = i[perm].reshape(ng, k, batch_size)
+        swb = sw[perm].reshape(ng, k, batch_size)
+        vb = valid.reshape(ng, k, batch_size)
 
         def body(carry, xs):
             wc = carry
@@ -235,7 +250,7 @@ def _cached_dp_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
                                   jax.random.fold_in(ksamp, t))
             return wc, ll
 
-        w, lls = jax.lax.scan(body, w, (ub, ib, swb, vb, jnp.arange(nb)))
+        w, lls = jax.lax.scan(body, w, (ub, ib, swb, vb, jnp.arange(ng)))
         return w, jnp.sum(lls)
 
     rep_sh = NamedSharding(mesh, P())
@@ -255,7 +270,8 @@ DP_TABLE_BYTES = 256 * 2**20
 
 def make_sharded_epoch_fn(mesh, num_items, max_samples, x_uf_any, x_if_any,
                           batch_size, sample_rounds=8, sampler="bsearch",
-                          step_kind="window", dp=None, table_bytes=0):
+                          step_kind="window", dp=None, table_bytes=0,
+                          dp_sync_every=1):
     """Whole-epoch training compiled over the mesh; same signature as
     `rankfm_tpu.ops.training.make_epoch_fn` (``hist`` is the blocked history
     pack for ``step_kind='window'``, the CSR/bitmap dict for
@@ -263,7 +279,12 @@ def make_sharded_epoch_fn(mesh, num_items, max_samples, x_uf_any, x_if_any,
 
     ``dp=None`` picks data-parallel (replicated tables, one delta-psum per
     batch) when ``table_bytes`` fits `DP_TABLE_BYTES`, else the row-sharded
-    GSPMD path. Pass ``dp=True/False`` to force."""
+    GSPMD path. Pass ``dp=True/False`` to force.
+
+    ``dp_sync_every=K`` accumulates K batches of local updates per replica
+    before the delta-psum (local SGD): K-fold less collective volume — the
+    lever when hosts are linked by DCN rather than ICI. K = 1 (default)
+    syncs every batch."""
     if dp is None:
         dp = table_bytes <= DP_TABLE_BYTES
     n_dev = 1
@@ -271,7 +292,11 @@ def make_sharded_epoch_fn(mesh, num_items, max_samples, x_uf_any, x_if_any,
         n_dev *= v
     if dp and batch_size % n_dev != 0:
         dp = False          # batch not evenly shardable -> GSPMD path
-    maker = _cached_dp_epoch if dp else _cached_sharded_epoch
-    return maker(_MeshKey(mesh), num_items, max_samples,
-                 bool(x_uf_any), bool(x_if_any), batch_size,
-                 sample_rounds, sampler, step_kind)
+    if dp:
+        return _cached_dp_epoch(_MeshKey(mesh), num_items, max_samples,
+                                bool(x_uf_any), bool(x_if_any), batch_size,
+                                sample_rounds, sampler, step_kind,
+                                sync_every=int(dp_sync_every))
+    return _cached_sharded_epoch(_MeshKey(mesh), num_items, max_samples,
+                                 bool(x_uf_any), bool(x_if_any), batch_size,
+                                 sample_rounds, sampler, step_kind)

@@ -277,3 +277,50 @@ def test_model_end_to_end_on_mesh():
     m0.fit(train, epochs=8)
     hr0 = evaluation.hit_rate(m0, test, k=8)
     assert hr > 0.2 and abs(hr - hr0) < 0.35, (hr, hr0)
+
+
+def test_dp_sync_every_local_accumulation():
+    """dp_sync_every=K (local SGD: K batches of local updates per replica,
+    then one delta-psum) must train to comparable quality as per-batch
+    sync, with K-fold fewer collectives."""
+    import pandas as pd
+    from rankfm_tpu import RankFM, evaluation
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for u in range(64):
+        g = u % 2
+        own = rng.choice(np.arange(g * 16, (g + 1) * 16), 8, replace=False)
+        for it in own:
+            rows.append((u, it))
+    df = pd.DataFrame(rows, columns=["user_id", "item_id"])
+    train = df.sample(frac=0.75, random_state=0)
+    test = df.drop(train.index)
+
+    mesh = make_mesh(data=8, model=1)
+    hrs = {}
+    for k in (1, 4):
+        m = RankFM(factors=4, loss="warp", max_samples=4, learning_rate=0.1,
+                   batch_size=64, mesh=mesh, dp_sync_every=k)
+        m.fit(train, epochs=8)
+        assert np.isfinite(m.v_i).all() and np.isfinite(m.v_u).all()
+        hrs[k] = evaluation.hit_rate(m, test, k=8)
+    # both learn (well above the ~25% chance rate for 8 recs over the
+    # user's 16-item group half) and land in the same band
+    assert hrs[1] > 0.4 and hrs[4] > 0.4, hrs
+    assert abs(hrs[1] - hrs[4]) < 0.35, hrs
+
+
+def test_dp_sync_every_clamps_to_batch_count():
+    """K larger than the epoch's batch count must clamp, not crash."""
+    import pandas as pd
+    from rankfm_tpu import RankFM
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"user_id": rng.integers(0, 16, 200),
+                       "item_id": rng.integers(0, 24, 200)})
+    mesh = make_mesh(data=8, model=1)
+    m = RankFM(factors=4, loss="bpr", batch_size=64, mesh=mesh,
+               dp_sync_every=1000)
+    m.fit(df, epochs=2)
+    assert m.is_fit and np.isfinite(m.v_i).all()
