@@ -344,3 +344,47 @@ def test_fused_feature_path_exact_parity():
         got = np.asarray(got)
         rel = np.max(np.abs(got - want)) / max(np.max(np.abs(want)), 1e-6)
         assert rel < 0.02, rel
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
+                    reason="Mosaic kernel needs TPU hardware")
+def test_fused_wide_windows_trains():
+    """n_windows override (the wide-window tail): an NW=8 program on a
+    >8-block catalog must compile, keep tables finite, and produce a
+    sane log-likelihood."""
+    rng = np.random.default_rng(5)
+    U, I, F, bs = 512, 9_500, 16, 1024   # 10 window blocks
+    n = 6_000
+    u_rows = rng.integers(0, U, n).astype(np.int32)
+    i_rows = rng.integers(0, I, n).astype(np.int32)
+    uniq = np.unique(np.stack([u_rows, i_rows], 1), axis=0)
+    counts = np.bincount(uniq[:, 0], minlength=U)
+    offsets = np.zeros(U + 1, np.int32)
+    offsets[1:] = np.cumsum(counts).astype(np.int32)
+    flat = uniq[:, 1].astype(np.int32)
+
+    U_pad, I_pad = fused.user_pad(U), fused.item_pad(I)
+    nblk = I_pad // fused.block_size(I)
+    assert nblk > 8
+    nw = min(8, fused.max_n_windows(U, I, table_bf16=False))
+    assert nw > fused.default_n_windows(nblk)
+
+    w_i = np.zeros(I, np.float32)
+    v_u = rng.normal(0, 0.1, (U, F)).astype(np.float32)
+    v_i = rng.normal(0, 0.1, (I, F)).astype(np.float32)
+    tu, ti = fused.extend_tables(jnp.asarray(w_i), jnp.asarray(v_u),
+                                 jnp.asarray(v_i), U_pad, I_pad)
+    packed = fused.pack_history_device(offsets, flat, U, I)
+    win_cols = fused.pack_win_cols(packed, U, I)
+    layout = tuple(map(jnp.asarray, fused.make_records_grouped(
+        u_rows, i_rows, np.ones(n, np.float32), U, I, bs, 128)))
+    ep = fused.make_fused_epoch_fn(U, I, F, 5, bs, chunk=128, donate=False,
+                                   n_windows=nw)
+    tu2, ti2, ll = ep(tu, ti, win_cols, *layout, 0.1, 0.01,
+                      jax.random.PRNGKey(0), 0)
+    assert np.isfinite(float(ll)) and float(ll) < 0.0
+    w_i2, v_u2, v_i2 = fused.extract_tables(tu2, ti2, U, I, F)
+    assert np.isfinite(np.asarray(v_u2)).all()
+    assert np.isfinite(np.asarray(v_i2)).all()
+    # training moved the touched tables
+    assert not np.allclose(np.asarray(v_u2), v_u)
