@@ -14,6 +14,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -54,10 +55,18 @@ def main():
     model = RankFM(factors=20, loss="warp", max_samples=20, alpha=0.01,
                    sigma=0.1, learning_rate=0.1, learning_schedule="invscaling")
 
-    # warmup: compile + first epoch
+    # warmup: compile + first epoch. The AOT executable cache
+    # (rankfm_tpu.utils.aotcache) skips the ~70 s fused-program compile
+    # when a prior process stored the executable; report whether it could.
+    import glob as _glob
+    from rankfm_tpu.utils import aotcache
+    aot_before = set(_glob.glob(os.path.join(aotcache.cache_dir(), "*.pkl")))
     t0 = time.time()
     model.fit(inter, epochs=1)
     warm = time.time() - t0
+    aot_after = set(_glob.glob(os.path.join(aotcache.cache_dir(), "*.pkl")))
+    aot_state = ("miss-stored" if aot_after - aot_before
+                 else ("hit" if aot_before else "off"))
 
     # steady state: time EPOCHS epochs through the public API; best of three
     # runs (the shared-TPU link shows >10% run-to-run noise)
@@ -77,7 +86,8 @@ def main():
     }
     print(json.dumps(result))
     print(f"# n={n} epochs={EPOCHS} elapsed={elapsed:.2f}s warmup(fit+compile)={warm:.1f}s "
-          f"device={jax.devices()[0].platform}", file=sys.stderr)
+          f"aot_cache={aot_state} device={jax.devices()[0].platform}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
