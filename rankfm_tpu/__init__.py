@@ -29,6 +29,33 @@ def _enable_compilation_cache():
         _os.path.join(_os.path.expanduser("~"), ".cache", "rankfm_tpu_xla"))
     try:
         import jax
+        # XLA:CPU cache entries embed host ISA features that the cache key
+        # does not fully capture: an AOT payload compiled on another machine
+        # deserializes here with a SIGILL-risk warning (observed when the
+        # cache volume outlives the host). Partition CPU-backend entries by
+        # an ISA fingerprint; the TPU cache stays shared (its key includes
+        # the chip kind, and warm-start across processes is the point).
+        try:
+            plats = (getattr(jax.config, "jax_platforms", None)
+                     or _os.environ.get("JAX_PLATFORMS", "") or "")
+            if plats.split(",")[0].strip().lower() == "cpu":
+                fp = ""
+                try:
+                    with open("/proc/cpuinfo") as fh:
+                        for line in fh:
+                            if line.startswith(("flags", "Features")):
+                                import hashlib
+                                fp = hashlib.sha1(
+                                    line.encode()).hexdigest()[:12]
+                                break
+                except OSError:
+                    pass
+                if not fp:
+                    import platform
+                    fp = platform.machine() or "unknown"
+                cache_dir = _os.path.join(cache_dir, f"cpu-{fp}")
+        except Exception:
+            pass  # partitioning is best-effort; never lose the cache
         _os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
