@@ -67,8 +67,8 @@ class RankFM:
                  sigma=0.1, learning_rate=0.1, learning_schedule='constant',
                  learning_exponent=0.25, *, batch_size=None, seed=1492,
                  sample_rounds=8, neg_sampler='auto', use_fused='auto',
-                 train_step='auto', tail_windows=None, mesh=None,
-                 dp_sync_every=1):
+                 train_step='auto', n_windows=None, tail_windows=None,
+                 mesh=None, dp_sync_every=1):
         """store hyperparameters and initialize internal model state
 
         :param factors: latent factor rank
@@ -104,6 +104,13 @@ class RankFM:
             Instacart-class catalogs), or 'auto' (window through 8 window
             blocks; mixed beyond when the fused kernel is running,
             candidate otherwise)
+        :param n_windows: negative windows drawn per 512-row chunk on the
+            fused path (None = auto: 1 through 8 window blocks, 4 beyond).
+            Each window is an independent size-weighted 1024-item block, so
+            more windows widen the per-row candidate pool toward the full
+            catalog (hardest-negative search quality) at a per-window VMEM
+            scratch + membership cost; clamped to the catalog's block count
+            and the VMEM budget
         :param tail_windows: (experimental) when the mixed schedule would
             run a candidate-step tail, instead finish with fused epochs
             drawing this many negative windows per chunk (wider catalog
@@ -145,12 +152,16 @@ class RankFM:
             "[use_fused] must be in (True, False, 'auto')"
         assert train_step in ('auto', 'window', 'candidate', 'mixed'), \
             "[train_step] must be in ('auto', 'window', 'candidate', 'mixed')"
+        assert n_windows is None or (
+            isinstance(n_windows, int) and n_windows >= 1), \
+            "[n_windows] must be None or a positive integer"
         assert tail_windows is None or (
             isinstance(tail_windows, int) and tail_windows >= 1), \
             "[tail_windows] must be None or a positive integer"
         assert isinstance(dp_sync_every, int) and dp_sync_every >= 1, \
             "[dp_sync_every] must be a positive integer"
         self.train_step = train_step
+        self.n_windows = n_windows
         self.tail_windows = tail_windows
         self.dp_sync_every = dp_sync_every
         self.batch_size = batch_size
@@ -698,9 +709,21 @@ class RankFM:
                 layout_dev = tuple(map(jnp.asarray, layout))
                 self._rec_cache = (rec_key, layout_dev)
             rec_dev, group_dev, cids_dev, ublk_dev, iblk_dev = layout_dev
+            # optional window-count override (quality/throughput lever;
+            # None = default_n_windows inside the program builder)
+            nblk_f = I_pad // fused_mod.block_size(num_items)
+            nw_main = None
+            if self.n_windows is not None:
+                nw_main = min(self.n_windows, nblk_f,
+                              max(1, fused_mod.max_n_windows(
+                                  U, num_items, table_bf16,
+                                  x_uf_any, x_if_any)))
+                if nw_main == fused_mod.default_n_windows(nblk_f):
+                    nw_main = None
             epoch_fn = fused_mod.make_fused_epoch_fn(
                 U, num_items, F, max_samples, bs, chunk=chunk,
-                table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any)
+                table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any,
+                n_windows=nw_main)
             # AOT warm-start: the fused program's ~70 s compile dominates
             # cold warmup, and the backend's persistent-cache key drifts
             # across processes for Mosaic programs — cache the serialized
@@ -709,7 +732,7 @@ class RankFM:
             epoch_fn = aotcache.wrap(
                 epoch_fn,
                 key_parts=(U, num_items, F, max_samples, bs, chunk,
-                           table_bf16, x_uf_any, x_if_any),
+                           table_bf16, x_uf_any, x_if_any, nw_main),
                 tag="fused_epoch")
             # side features: lane-padded HBM feature blocks + the packed
             # small factor tables (v_uf / w_if+v_if) the kernel keeps in VMEM
@@ -750,7 +773,6 @@ class RankFM:
             # — catalog-wide hard negatives land at the END, where WARP
             # needs them; measured to BEAT pure-candidate quality at ~4x
             # its speed (tools/probe_feature_ab.py, BENCHMARKS.md)
-            nblk_f = I_pad // fused_mod.block_size(num_items)
             n_tail = 0
             if (self.train_step == 'mixed'
                     or (self.train_step == 'auto' and nblk_f > 8)):
