@@ -175,6 +175,10 @@ def test__ctor__bad_hyperparams():
         RankFM(learning_schedule='exponential')
     with pytest.raises(AssertionError):
         RankFM(alpha=0.0)
+    with pytest.raises(AssertionError):
+        RankFM(n_windows=0)
+    with pytest.raises(AssertionError):
+        RankFM(tail_windows=0)
 
 # ------------------------------
 # score prediction
@@ -442,7 +446,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
         "f1": (rng.uniform(size=len(items)) < 0.5).astype(np.float32),
     })
     m = RankFM(factors=4, loss="warp", max_samples=3, seed=9,
-               neg_sampler="bsearch", train_step="candidate")
+               neg_sampler="bsearch", train_step="candidate", n_windows=2)
     m.fit(inter, item_features=itemf,
           sample_weight=np.ones(len(inter), np.float32), epochs=2)
     path = str(tmp_path / "model.npz")
@@ -450,6 +454,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     m2 = RankFM.load(path)
 
     assert m2.neg_sampler == "bsearch" and m2.train_step == "candidate"
+    assert m2.n_windows == 2
     assert m2.seed == 9 and len(m2.training_log_) == 2
     pairs = inter.values[:50]
     np.testing.assert_array_equal(m.predict(pairs), m2.predict(pairs))
