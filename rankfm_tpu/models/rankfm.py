@@ -983,6 +983,21 @@ class RankFM:
         else:
             raise ValueError("param [cold_start] must be set to either 'nan' or 'drop'")
 
+    def _similar_rows(self, idx, factor_key, feat_factor_key, feat_dev,
+                      index_map, n):
+        """top-n rows by latent-rep dot product, search row excluded — one
+        device matmul + `lax.top_k` (the reference sorts all rows on the
+        host per query, `rankfm.py:421-427`). Latent rep of row r is
+        ``V[r] + feats[r] @ V_f`` (same definition as the reference)."""
+        w = self._weights
+        reps = w[factor_key] + jnp.dot(feat_dev, w[feat_factor_key],
+                                       preferred_element_type=jnp.float32)
+        sims = jnp.dot(reps, reps[idx], preferred_element_type=jnp.float32)
+        sims = sims.at[idx].set(-jnp.inf)
+        k = min(n, reps.shape[0] - 1)
+        _, top = jax.lax.top_k(sims, k)
+        return pd.Series(np.asarray(top)).map(index_map).values
+
     def similar_items(self, item_id, n_items=10):
         """find the most similar items wrt latent factor space representation (`rankfm.py:405-428`)
 
@@ -994,12 +1009,8 @@ class RankFM:
         assert self.is_fit, "you must fit the model prior to generating similarities"
 
         item_idx = int(self.item_to_index.loc[item_id])
-        v_i, v_if = self.v_i, self.v_if
-        lr_item = v_i[item_idx] + np.dot(v_if.T, self.x_if[item_idx])
-        lr_all_items = v_i + np.dot(self.x_if, v_if)
-
-        sims = pd.Series(np.dot(lr_all_items, lr_item)).drop(item_idx).sort_values(ascending=False)[:n_items]
-        return pd.Series(sims.index).map(self.index_to_item).values
+        return self._similar_rows(item_idx, "v_i", "v_if", self._x_if_dev,
+                                  self.index_to_item, n_items)
 
     def similar_users(self, user_id, n_users=10):
         """find the most similar users wrt latent factor space representation (`rankfm.py:431-454`)
@@ -1012,12 +1023,8 @@ class RankFM:
         assert self.is_fit, "you must fit the model prior to generating similarities"
 
         user_idx = int(self.user_to_index.loc[user_id])
-        v_u, v_uf = self.v_u, self.v_uf
-        lr_user = v_u[user_idx] + np.dot(v_uf.T, self.x_uf[user_idx])
-        lr_all_users = v_u + np.dot(self.x_uf, v_uf)
-
-        sims = pd.Series(np.dot(lr_all_users, lr_user)).drop(user_idx).sort_values(ascending=False)[:n_users]
-        return pd.Series(sims.index).map(self.index_to_user).values
+        return self._similar_rows(user_idx, "v_u", "v_uf", self._x_uf_dev,
+                                  self.index_to_user, n_users)
 
     # --------------------------------
     # checkpointing (new capability; the reference has no save/load)
