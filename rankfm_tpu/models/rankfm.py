@@ -600,9 +600,17 @@ class RankFM:
                     step_kind = 'window' if nblk <= 8 else 'candidate'
                 else:
                     step_kind = self.train_step
+            # post-hoc membership testing of only the selected negative is
+            # a ~density-grade approximation of the reference's pre-draw
+            # rejection — only sound while histories stay sparse relative
+            # to the catalog. Derived HERE so it participates in fn_key:
+            # fit_partial unions histories, and a cached epoch_fn from a
+            # sparser past must not outlive the threshold crossing.
+            density = len(self._ui_items) / max(U * num_items, 1)
+            post_reject = density < 0.02
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs_x,
                       n_pad, self._sampler, self.mesh is not None, step_kind,
-                      self.dp_sync_every,
+                      self.dp_sync_every, post_reject,
                       tuple(v.shape for v in self._weights.values()))
             if self._epoch_fn is None or self._epoch_fn_key != fn_key:
                 if self.mesh is not None:
@@ -628,18 +636,12 @@ class RankFM:
                     # bias grad, validity) into one 128-lane row — gate it on
                     # the same factors bound as the fused kernel, falling back
                     # to .at[].add scatters for very wide models
-                    nnz = len(self._ui_items)
-                    density = nnz / max(U * num_items, 1)
                     self._epoch_fn = make_epoch_fn(
                         num_items, max_samples, x_uf_any, x_if_any, bs_x,
                         sample_rounds=self.sample_rounds, sampler=self._sampler,
                         pallas_scatter=_on_tpu() and F <= 126,
                         step_kind=step_kind,
-                        # post-hoc membership testing of only the selected
-                        # negative is a ~density-grade approximation of the
-                        # reference's pre-draw rejection — only sound when
-                        # histories are sparse relative to the catalog
-                        post_reject=density < 0.02,
+                        post_reject=post_reject,
                     )
                     # AOT warm-start (see fused path below): skip the
                     # cold compile when a serialized executable exists
@@ -681,9 +683,18 @@ class RankFM:
             if self._win_cols is None:
                 self._win_cols = fused_mod.pack_win_cols(
                     self._packed_hist, U, num_items)
-            # chunk: smaller chunks waste less guard padding when the
-            # (user block x item block) group count is large relative to n
-            chunk = min(512, bs)
+            # chunk: must DIVIDE the batch (make_records_grouped lays out
+            # whole batches of whole chunks), so start from the largest
+            # 128-multiple divisor <= 512 — e.g. batch_size=640 gets 128,
+            # not a crashing 512. Smaller chunks also waste less guard
+            # padding when the (user block x item block) group count is
+            # large relative to n.
+            if bs <= 512:
+                chunk = bs
+            else:
+                chunk = 512
+                while chunk > 128 and bs % chunk:
+                    chunk //= 2
             ng = (fused_mod.num_user_blocks(U)
                   * (I_pad // fused_mod.block_size(num_items)))
             while chunk > 128 and ng * chunk > 0.15 * max(n, 1):
