@@ -80,8 +80,7 @@ def compute(model, test_interactions, metrics=None, k=10, filter_previous=False)
     (and the reference's `evaluation.py:9-143`), but the expensive
     `model.recommend` call runs once instead of once per metric.
     """
-    if metrics is None:
-        metrics = tuple(_AGGREGATORS)
+    metrics = tuple(_AGGREGATORS) if metrics is None else tuple(metrics)
     unknown = [m for m in metrics if m not in _AGGREGATORS]
     assert not unknown, f"unknown metrics {unknown}; choose from {sorted(_AGGREGATORS)}"
     _, comm, hits, tui = _recs_and_hits(model, test_interactions, k, filter_previous)

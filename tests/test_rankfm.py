@@ -390,6 +390,13 @@ def test_evaluation_metrics_match_hand_computed_oracle():
     assert evaluation.precision(model, test, k=k) == pytest.approx(np.mean(precs))
     assert evaluation.recall(model, test, k=k) == pytest.approx(np.mean(recalls))
 
+    # compute() must accept any iterable (a generator used to be exhausted
+    # by validation and silently return {})
+    out = evaluation.compute(model, test,
+                             metrics=(m for m in ("hit_rate", "recall")), k=k)
+    assert out == {"hit_rate": pytest.approx(np.mean(hrs)),
+                   "recall": pytest.approx(np.mean(recalls))}
+
 
 def test_diversity_contract():
     """diversity returns cnt/pct of users recommended each catalog item
