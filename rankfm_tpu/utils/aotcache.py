@@ -72,19 +72,29 @@ def enabled():
 def _aval_sig(x):
     if hasattr(x, "shape") and hasattr(x, "dtype"):
         return (tuple(x.shape), str(x.dtype))
-    if isinstance(x, (int, bool, str)) or x is None:
-        # static arguments (e.g. a baked-in row count) select different
-        # programs — their VALUES belong in the key. Python floats are
-        # always traced in the hot programs (eta/alpha/beta), so only
-        # their type is keyed to avoid fragmenting the cache per epoch.
+    if isinstance(x, (bool, int, float)):
+        # dynamic Python scalars are traced (weak bool/int32/float32
+        # avals) — the VALUE never selects a program, so keying it would
+        # fragment the cache: e.g. the epoch counter differs per call and
+        # the mixed tail's first epoch differs per `epochs`.
+        return ("pyscalar", type(x).__name__)
+    if isinstance(x, str) or x is None:
         return ("pyval", x)
     return (type(x).__name__,)
 
 
-def _args_sig(args):
-    leaves, treedef = jax.tree_util.tree_flatten(
-        args, is_leaf=lambda x: x is None)
-    return (str(treedef), tuple(_aval_sig(leaf) for leaf in leaves))
+def _args_sig(args, static_set=frozenset()):
+    sigs = []
+    for pos, arg in enumerate(args):
+        if pos in static_set:
+            # static arguments (e.g. a baked-in row count) select
+            # different programs — their VALUES belong in the key
+            sigs.append(("static", repr(arg)))
+            continue
+        leaves, treedef = jax.tree_util.tree_flatten(
+            arg, is_leaf=lambda x: x is None)
+        sigs.append((str(treedef), tuple(_aval_sig(x) for x in leaves)))
+    return tuple(sigs)
 
 
 def _backend_sig():
@@ -94,9 +104,9 @@ def _backend_sig():
             getattr(client, "platform_version", ""))
 
 
-def _key(tag, key_parts, args):
+def _key(tag, key_parts, args, static_set=frozenset()):
     payload = repr((tag, _source_hash(), _backend_sig(), tuple(key_parts),
-                    _args_sig(args))).encode()
+                    _args_sig(args, static_set))).encode()
     return hashlib.sha256(payload).hexdigest()[:32]
 
 
@@ -131,7 +141,7 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
         try:
             from jax.experimental.serialize_executable import (
                 deserialize_and_load, serialize)
-            key = _key(tag, key_parts, args)
+            key = _key(tag, key_parts, args, static_set)
             fn = _LOADED.get(key)
             if fn is None:
                 path = os.path.join(cache_dir(), f"{tag}-{key}.pkl")

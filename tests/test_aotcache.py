@@ -77,12 +77,17 @@ def test_key_separates_shapes_and_static_values(aot_env):
     jitted = _make_jitted()
     w = {"w": jnp.ones((8,))}
     x = jnp.arange(16, dtype=jnp.float32)
-    k1 = aotcache._key("t", (), (w, x, 4, 0.5))
-    k2 = aotcache._key("t", (), (w, x, 5, 0.5))          # static int value
-    k3 = aotcache._key("t", (), (w, jnp.zeros((32,)), 4, 0.5))  # shape
-    k4 = aotcache._key("t", (), (w, x, 4, 0.9))          # traced float
-    assert k1 != k2 and k1 != k3
-    assert k1 == k4, "float values must not fragment the key"
+    k1 = aotcache._key("t", (), (w, x, 4, 0.5), static_set=frozenset({2}))
+    k2 = aotcache._key("t", (), (w, x, 5, 0.5), static_set=frozenset({2}))
+    k3 = aotcache._key("t", (), (w, jnp.zeros((32,)), 4, 0.5),
+                       static_set=frozenset({2}))                   # shape
+    assert k1 != k2, "STATIC int values select programs — must separate"
+    assert k1 != k3
+    # dynamic scalars are traced: their VALUES must not fragment the key
+    # (the epoch counter differs per call; eta differs per epoch)
+    k5 = aotcache._key("t", (), (w, x, 4, 0.5))
+    k6 = aotcache._key("t", (), (w, x, 5, 0.9))
+    assert k5 == k6, "traced int/float values must not fragment the key"
 
 
 def test_disabled_returns_jitted_unchanged(monkeypatch):
