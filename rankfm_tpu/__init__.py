@@ -29,16 +29,26 @@ def _enable_compilation_cache():
         _os.path.join(_os.path.expanduser("~"), ".cache", "rankfm_tpu_xla"))
     try:
         import jax
+        # respect an application-level cache configuration: if the user (or
+        # their environment) already points the persistent cache somewhere,
+        # don't silently redirect it — and don't override their eviction
+        # thresholds either
+        if (_os.environ.get("JAX_COMPILATION_CACHE_DIR")
+                or getattr(jax.config, "jax_compilation_cache_dir", None)):
+            return
         # XLA:CPU cache entries embed host ISA features that the cache key
         # does not fully capture: an AOT payload compiled on another machine
         # deserializes here with a SIGILL-risk warning (observed when the
-        # cache volume outlives the host). Partition CPU-backend entries by
-        # an ISA fingerprint; the TPU cache stays shared (its key includes
-        # the chip kind, and warm-start across processes is the point).
+        # cache volume outlives the host). Partition entries by an ISA
+        # fingerprint UNLESS the primary platform is provably a TPU (the
+        # only backend where cross-process warm-start must survive host
+        # changes; its key includes the chip kind). An unset platform can
+        # default to CPU, so unknown also partitions.
         try:
             plats = (getattr(jax.config, "jax_platforms", None)
                      or _os.environ.get("JAX_PLATFORMS", "") or "")
-            if plats.split(",")[0].strip().lower() == "cpu":
+            primary = plats.split(",")[0].strip().lower()
+            if primary not in ("tpu", "axon"):
                 fp = ""
                 try:
                     with open("/proc/cpuinfo") as fh:
@@ -53,7 +63,7 @@ def _enable_compilation_cache():
                 if not fp:
                     import platform
                     fp = platform.machine() or "unknown"
-                cache_dir = _os.path.join(cache_dir, f"cpu-{fp}")
+                cache_dir = _os.path.join(cache_dir, f"host-{fp}")
         except Exception:
             pass  # partitioning is best-effort; never lose the cache
         _os.makedirs(cache_dir, exist_ok=True)
