@@ -116,6 +116,30 @@ def item_pad(num_items):
     return _round_up(max(num_items, 1), block_size(num_items))
 
 
+def window_block_cdf(num_items):
+    """Cumulative REAL item count per window block (host-side, np).
+
+    Negatives must be uniform over the CATALOG, so window blocks are drawn
+    with probability proportional to their real item count — the tail
+    block is partial, and a uniform block draw would oversample its items.
+    Shared by the fused epoch and the XLA window step so the two paths can
+    never drift in sampling semantics."""
+    blk = block_size(num_items)
+    nblk = item_pad(num_items) // blk
+    return np.minimum(np.arange(1, nblk + 1) * blk, num_items)
+
+
+def draw_window_blocks(key, shape, num_items, real_cum=None):
+    """``shape``-shaped int32 window-block ids, catalog-size-weighted
+    (see `window_block_cdf`)."""
+    if real_cum is None:
+        real_cum = window_block_cdf(num_items)
+    return jnp.searchsorted(
+        jnp.asarray(real_cum, jnp.float32),
+        jax.random.uniform(key, shape, maxval=float(num_items)),
+        side="right").astype(jnp.int32)
+
+
 # catalogs beyond this many window blocks fall back to the XLA candidate
 # step: per-chunk cost no longer depends on catalog size (two-level
 # bucketing), so the cap is set by negative-window coverage quality and the
@@ -1026,10 +1050,7 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
     NBLK = I_pad // BLK
     NW = default_n_windows(NBLK) if n_windows is None else n_windows
     nT = batch_size // chunk
-    # negatives must be uniform over the CATALOG: draw each window block
-    # with probability proportional to its REAL item count (the tail block
-    # is partial — a uniform block draw would oversample its items)
-    real_cum = np.minimum(np.arange(1, NBLK + 1) * BLK, num_items)
+    real_cum = window_block_cdf(num_items)
 
     def one_epoch(tab_u, tab_i, win_cols, rec, group, cids, ublk, iblk, eta,
                   alpha, key, epoch, x_uf=None, x_if=None, tab_uf=None,
@@ -1054,11 +1075,7 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
         ublk_b = jnp.roll(ublk, r, axis=0)
         iblk_b = jnp.roll(iblk, r, axis=0)
         seeds = jax.random.randint(ksamp, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
-        draw = jax.random.uniform(kblk, (nb, nT, NW),
-                                  maxval=float(num_items))
-        blks = jnp.searchsorted(
-            jnp.asarray(real_cum, jnp.float32), draw, side="right"
-        ).astype(jnp.int32)
+        blks = draw_window_blocks(kblk, (nb, nT, NW), num_items, real_cum)
         eta_arr = jnp.reshape(jnp.asarray(eta, jnp.float32), (1,))
         dreg_arr = jnp.concatenate([
             eta_arr * (2.0 * jnp.asarray(alpha, jnp.float32)),

@@ -331,9 +331,8 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
     alpha, beta, key) -> (w, ll)``.
     """
     from rankfm_tpu.ops.fused import (
-        BITS_PER_LANE, block_size, item_pad)
-
-    import numpy as _np
+        BITS_PER_LANE, block_size, draw_window_blocks, item_pad,
+        window_block_cdf)
 
     M = max_samples
     log_I = math.log(num_items) if num_items > 1 else 1.0
@@ -342,10 +341,7 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
     LW = BLK // BITS_PER_LANE
     NBLK = I_pad // BLK
     lg_lw = LW.bit_length() - 1
-    # negatives must be uniform over the CATALOG: draw each window block
-    # with probability proportional to its REAL item count (the tail block
-    # is partial — a uniform block draw would oversample its items)
-    real_cum = _np.minimum(_np.arange(1, NBLK + 1) * BLK, num_items)
+    real_cum = window_block_cdf(num_items)
 
     def step(w, x_uf, x_if, packed_hist, u, i, sw, valid, eta, alpha, beta, key):
         B = u.shape[0]
@@ -357,10 +353,7 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
             G *= 2
         Bg = B // G
         kblk, kcand, kgeo = jax.random.split(key, 3)
-        blkg = jnp.searchsorted(
-            jnp.asarray(real_cum, jnp.float32),
-            jax.random.uniform(kblk, (G,), maxval=float(num_items)),
-            side="right").astype(jnp.int32)
+        blkg = draw_window_blocks(kblk, (G,), num_items, real_cum)
 
         # ---- window membership bits (blocked 16-bit pack, tile layout) ----
         u3 = u.reshape(G, Bg)
