@@ -683,22 +683,7 @@ class RankFM:
             if self._win_cols is None:
                 self._win_cols = fused_mod.pack_win_cols(
                     self._packed_hist, U, num_items)
-            # chunk: must DIVIDE the batch (make_records_grouped lays out
-            # whole batches of whole chunks), so start from the largest
-            # 128-multiple divisor <= 512 — e.g. batch_size=640 gets 128,
-            # not a crashing 512. Smaller chunks also waste less guard
-            # padding when the (user block x item block) group count is
-            # large relative to n.
-            if bs <= 512:
-                chunk = bs
-            else:
-                chunk = 512
-                while chunk > 128 and bs % chunk:
-                    chunk //= 2
-            ng = (fused_mod.num_user_blocks(U)
-                  * (I_pad // fused_mod.block_size(num_items)))
-            while chunk > 128 and ng * chunk > 0.15 * max(n, 1):
-                chunk //= 2
+            chunk = fused_mod.pick_chunk(bs, U, num_items, n)
             w = self._weights
             table_bf16 = fused_mod.TABLE_BF16 or fused_mode == 'bf16'
             tab_u, tab_i = fused_mod.extend_tables(

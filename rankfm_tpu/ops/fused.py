@@ -116,6 +116,27 @@ def item_pad(num_items):
     return _round_up(max(num_items, 1), block_size(num_items))
 
 
+def pick_chunk(batch_size, num_users, num_items, n):
+    """Fused-kernel chunk rows. Must DIVIDE the batch (`make_records_grouped`
+    lays out whole batches of whole chunks), so start from the largest
+    halving of 512 that divides it — e.g. batch_size=640 gets 128, never a
+    crashing 512 — then halve further while (user block x item block) guard
+    padding would exceed ~15% of the epoch rows (smaller chunks waste less
+    guard padding when the group count is large relative to n)."""
+    if batch_size <= 512:
+        chunk = batch_size
+    else:
+        chunk = 512
+        while chunk > 128 and batch_size % chunk:
+            chunk //= 2
+    ng = num_user_blocks(num_users) * (
+        item_pad(num_items) // block_size(num_items))
+    # halve only while the result stays >= 128 (e.g. 384 stops at 192)
+    while chunk >= 256 and ng * chunk > 0.15 * max(n, 1):
+        chunk //= 2
+    return chunk
+
+
 def window_block_cdf(num_items):
     """Cumulative REAL item count per window block (host-side, np).
 

@@ -110,6 +110,23 @@ def test_block_size_and_pad():
     assert fused.item_pad(128) == 128
 
 
+@pytest.mark.parametrize("bs", [128, 384, 512, 640, 1024, 1152, 8192, 32768])
+def test_pick_chunk_divides_batch(bs):
+    """every eligible batch size (multiple of 128) must get a chunk that
+    divides it — batch_size=640 used to pass the gate and then die on
+    make_records_grouped's whole-chunks assertion"""
+    for U, I, n in ((64, 128, 256), (6040, 3706, 750_000), (100, 40_000, 1000)):
+        chunk = fused.pick_chunk(bs, U, I, n)
+        assert bs % chunk == 0 and chunk >= 128
+        # the layout accepts it end-to-end
+        rng = np.random.default_rng(0)
+        u = rng.integers(0, U, n).astype(np.int64)
+        i = rng.integers(0, I, n).astype(np.int64)
+        if n <= 1000:
+            fused.make_records_grouped(u, i, np.ones(n, np.float32),
+                                       U, I, bs, chunk)
+
+
 @pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
                     reason="Mosaic kernel needs TPU hardware")
 def test_fused_batch_trains():
