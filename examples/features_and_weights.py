@@ -57,10 +57,10 @@ def main():
     # crowded out by each user's already-seen items — the filtered numbers
     # are the meaningful ones for this split
     for fp in (False, True):
-        hr = evaluation.hit_rate(model, valid, k=10, filter_previous=fp)
-        pr = evaluation.precision(model, valid, k=10, filter_previous=fp)
-        rc = evaluation.recall(model, valid, k=10, filter_previous=fp)
-        print(f"filter_previous={fp}: HR@10={hr:.3f} P@10={pr:.3f} R@10={rc:.3f}")
+        m = evaluation.compute(model, valid, k=10, filter_previous=fp,
+                               metrics=("hit_rate", "precision", "recall"))
+        print(f"filter_previous={fp}: HR@10={m['hit_rate']:.3f} "
+              f"P@10={m['precision']:.3f} R@10={m['recall']:.3f}")
 
     print("similar to item 0:", model.similar_items(0, n_items=5))
 

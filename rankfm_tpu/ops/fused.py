@@ -122,7 +122,12 @@ def pick_chunk(batch_size, num_users, num_items, n):
     halving of 512 that divides it — e.g. batch_size=640 gets 128, never a
     crashing 512 — then halve further while (user block x item block) guard
     padding would exceed ~15% of the epoch rows (smaller chunks waste less
-    guard padding when the group count is large relative to n)."""
+    guard padding when the group count is large relative to n).
+
+    Requires ``batch_size % 128 == 0`` (the fused eligibility gate enforces
+    this) — otherwise no halving of 512 divides the batch."""
+    assert batch_size % 128 == 0, \
+        f"fused batch_size must be a multiple of 128, got {batch_size}"
     if batch_size <= 512:
         chunk = batch_size
     else:
@@ -178,13 +183,17 @@ def default_n_windows(nblk):
 
 
 def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
-                     vmem_table_budget=13 * 2**20, num_uf=0, num_if=0):
+                     vmem_table_budget=15 * 2**20, num_uf=0, num_if=0):
     """How the fused kernel can run this configuration.
 
     Returns ``'f32'`` (tables fit in f32), ``'bf16'`` (only the
     stochastically-rounded bf16 tables fit — validated at identical
     throughput/quality), or ``None`` (ineligible). The VMEM budget leaves
-    ~4 MB of the ~16 MB/core for scratch and chunk temporaries. Beyond 8
+    ~1 MB of the ~16 MB/core for chunk temporaries, with tables AND
+    fixed scratch (window membership columns, feature blocks) now counted
+    honestly against it (the budget admits exactly the configurations the
+    old 13 MB bound + undercounted rows did — e.g. the measured
+    Instacart-with-features bf16 run at a true 14.1 MB). Beyond 8
     window blocks each chunk rotates 4 negative windows per draw (coverage;
     see `make_fused_batch_fn`); beyond `FUSED_NBLK_CAP` blocks the XLA
     candidate step takes over (see `RankFM.fit_partial`).
@@ -202,13 +211,18 @@ def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
     nblk = i_pad // block_size(num_items)
     if nblk > FUSED_NBLK_CAP:
         return None
-    rows = _round_up(num_users, 8) + i_pad
+    # the kernel allocates user_pad rows (guard row + whole user blocks),
+    # not a bare 8-row rounding — budgeting the smaller figure admitted
+    # near-boundary configs that then failed at Mosaic load
+    rows = user_pad(num_users) + i_pad
     blk = block_size(num_items)
     nw = default_n_windows(nblk)
     def scratch(width):
         # feature-block scratch is table-dtype (f32 or bf16); the packed
-        # factor tables themselves stay f32 but are one 64 KB tile each
-        s = 0
+        # factor tables themselves stay f32 but are one 64 KB tile each.
+        # Every window also carries a [UB, 128] int32 membership-column
+        # scratch (win_scratch), table dtype notwithstanding.
+        s = nw * user_block(num_users) * LANES * 4
         if x_uf_any:
             s += user_block(num_users) * LANES * width + LANES * LANES * 4
         if x_if_any:
@@ -223,7 +237,7 @@ def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
 
 
 def fused_eligible(num_users, num_items, factors, x_uf_any, x_if_any,
-                   vmem_table_budget=13 * 2**20, num_uf=0, num_if=0):
+                   vmem_table_budget=15 * 2**20, num_uf=0, num_if=0):
     """Can the fused kernel run this configuration (either table dtype)?"""
     return fused_table_mode(num_users, num_items, factors, x_uf_any,
                             x_if_any, vmem_table_budget,
@@ -302,11 +316,7 @@ def pad_row(num_items):
 
 @partial(jax.jit, static_argnums=(3, 4))
 def _pack_scatter(users, items, padrow, num_users, blk):
-    lw = blk // BITS_PER_LANE
-    b = items // blk
-    j = items - b * blk
-    lane = b * lw + (j % lw)
-    bit = j // lw
+    lane, bit = _pack_coords(items, blk)  # dtype-agnostic: works on jnp
     packed = jnp.zeros((num_users, padrow.shape[0]), dtype=jnp.int32).at[
         users, lane].add(jnp.int32(1) << bit, mode="drop")
     return packed | padrow[None, :]
@@ -495,7 +505,7 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     lg_lw = LW.bit_length() - 1
     t = pl.program_id(0)
     nT = pl.num_programs(0)
-    log_I = math.log(num_items)
+    log_I = math.log(num_items) if num_items > 1 else 1.0
 
     @pl.when(t == 0)
     def _load():
@@ -743,13 +753,30 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
         bits = pltpu.bitcast(pltpu.prng_random_bits(val.shape), jnp.uint32)
         return pltpu.stochastic_round(val, bits, target_dtype=jnp.bfloat16)
 
+    # per-touch L2 decay over k touches in the chunk, geometric-corrected:
+    #   w <- c^k w + eta (1-c^k)/(k(1-c)) sum(g),  c = 1 - eta*2*alpha
+    # (same form the feature tables use below). The naive linearization
+    # (1 - dreg*k) goes NEGATIVE when dreg*k > 1 — a power user whose
+    # chunk holds hundreds of rows, or a hot item drawn as the negative by
+    # much of the chunk, would sign-flip and diverge where the reference's
+    # per-touch (1-dreg)^k stays in (0, 1).
+    cdec_r = jnp.maximum(1.0 - dreg, 1e-8)
+    ldec_r = jnp.log(cdec_r)
+
+    def _geo_row(cnt):
+        ck = jnp.exp(cnt * ldec_r)
+        denom = cnt * (1.0 - cdec_r)
+        f = jnp.where(denom > 1e-12,
+                      (1.0 - ck) / jnp.maximum(denom, 1e-12), 1.0)
+        return ck, eta * f
+
     scat_u = jax.lax.dot_general(oh_u, g_u.astype(jnp.bfloat16),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     count_u = scat_u[:, F:F + 1]                                  # [UB,1]
+    ck_u, gf_u = _geo_row(count_u)
     tub = tab_u[pl.ds(ubase, UB), :].astype(jnp.float32)
-    tab_u[pl.ds(ubase, UB), :] = _store_tab(
-        tub * (1.0 - dreg * count_u) + eta * scat_u)
+    tab_u[pl.ds(ubase, UB), :] = _store_tab(tub * ck_u + gf_u * scat_u)
     tab_u[pl.ds(ubase, UB), F:F + 1] = jnp.ones(
         (UB, 1), jnp.bfloat16 if TBF16 else jnp.float32)
 
@@ -758,9 +785,9 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
     count_i = scat_i[:, F + 1:F + 2]                              # [BLK,1]
+    ck_i, gf_i = _geo_row(count_i)
     tpf = tab_i[pl.ds(ibase, BLK), :].astype(jnp.float32)
-    tab_i[pl.ds(ibase, BLK), :] = _store_tab(
-        tpf * (1.0 - dreg * count_i) + eta * scat_i)
+    tab_i[pl.ds(ibase, BLK), :] = _store_tab(tpf * ck_i + gf_i * scat_i)
     tab_i[pl.ds(ibase, BLK), F + 1:F + 2] = zero_col
 
     g_j = jnp.where(lane == F + 1, valid * has_j, -g_ip)
@@ -770,9 +797,9 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     for w in range(NW):
         sj = scat_j[w * BLK:(w + 1) * BLK, :]
         count_j = sj[:, F + 1:F + 2]
+        ck_j, gf_j = _geo_row(count_j)
         twf = tab_i[pl.ds(boffs[w], BLK), :].astype(jnp.float32)
-        tab_i[pl.ds(boffs[w], BLK), :] = _store_tab(
-            twf * (1.0 - dreg * count_j) + eta * sj)
+        tab_i[pl.ds(boffs[w], BLK), :] = _store_tab(twf * ck_j + gf_j * sj)
         tab_i[pl.ds(boffs[w], BLK), F + 1:F + 2] = zero_col
 
     # ---- feature-factor table updates (dense, VMEM-resident). Each is a
@@ -785,10 +812,9 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
         touch = (valid * has_j).astype(jnp.bfloat16)              # [C,1]
         dregb = dreg_ref[1]                                       # eta*2*beta
         # feature columns are DENSE: one column can be touched by every
-        # row of the chunk (e.g. a popular department), so the linear
-        # per-touch decay the row tables use (1 - dreg*count, fine for
-        # counts of 0-2) would diverge. Apply the geometric-corrected
-        # per-touch form the XLA step validates against the reference
+        # row of the chunk (e.g. a popular department). Same
+        # geometric-corrected per-touch form as the row tables above,
+        # validated against the reference by the XLA step
         # (`ops/training.py:_decay_apply`):
         #   w <- c^k w + eta (1-c^k)/(k(1-c)) sum(g),  c = 1 - eta*2*beta
         # preserving the reference's decay rate AND fixed point.

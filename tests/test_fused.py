@@ -295,41 +295,54 @@ def test_fused_feature_path_exact_parity():
                    for u, i, j in zip(u_rows, i_rows, j_o)])
     mult = np.log(I - 1) / np.log(I)
     d = sw * mult / (1.0 + np.exp(pw))
-    g_vu, g_vi = np.zeros_like(v_u), np.zeros_like(v_i)
-    g_wi, g_wif = np.zeros_like(w_i), np.zeros_like(w_if)
+    g_vu = np.zeros_like(v_u)
+    g_vi_p, g_vi_n = np.zeros_like(v_i), np.zeros_like(v_i)
+    g_wi_p, g_wi_n = np.zeros_like(w_i), np.zeros_like(w_i)
+    g_wif = np.zeros_like(w_if)
     g_vif, g_vuf = np.zeros_like(v_if), np.zeros_like(v_uf)
-    cnt_u, cnt_i = np.zeros(U), np.zeros(I)
+    cnt_u = np.zeros(U)
+    cnt_ip, cnt_in = np.zeros(I), np.zeros(I)
     cnt_q, cnt_p = np.zeros(ND), np.zeros(P)
     for c in range(C):
         u, i, j, dc = u_rows[c], i_rows[c], j_o[c], d[c]
         g_vu[u] += dc * (v_i[i] - v_i[j] + if_rep[i] - if_rep[j])
         cnt_u[u] += 1
-        g_vi[i] += dc * (v_u[u] + uf_rep[u])
-        g_wi[i] += dc
-        cnt_i[i] += 1
-        g_vi[j] -= dc * (v_u[u] + uf_rep[u])
-        g_wi[j] -= dc
-        cnt_i[j] += 1
+        g_vi_p[i] += dc * (v_u[u] + uf_rep[u])
+        g_wi_p[i] += dc
+        cnt_ip[i] += 1
+        g_vi_n[j] -= dc * (v_u[u] + uf_rep[u])
+        g_wi_n[j] -= dc
+        cnt_in[j] += 1
         g_wif += dc * (x_if[i] - x_if[j])
         g_vif += dc * np.outer(x_if[i] - x_if[j], v_u[u])
         cnt_q += x_if[i] != x_if[j]
         g_vuf += dc * np.outer(x_uf[u], v_i[i] - v_i[j])
         cnt_p += x_uf[u] != 0
     dra, drb = eta * 2 * alpha, eta * 2 * beta
-    v_u_n = v_u * (1 - dra * cnt_u)[:, None] + eta * g_vu
-    v_i_n = v_i * (1 - dra * cnt_i)[:, None] + eta * g_vi
-    w_i_n = w_i * (1 - dra * cnt_i) + eta * g_wi
-    cdec = 1 - drb
 
-    def geo(cnt):
-        ck = cdec ** cnt
+    def geo(cnt, dr):
+        c = 1 - dr
+        ck = c ** cnt
         f = np.where(cnt > 0,
-                     (1 - ck) / np.maximum(cnt * (1 - cdec), 1e-12), 1.0)
+                     (1 - ck) / np.maximum(cnt * (1 - c), 1e-12), 1.0)
         return ck, eta * f
 
-    ck_w, gf_w = geo(float(C))
-    ck_v, gf_v = geo(cnt_q)
-    ck_p, gf_p = geo(cnt_p)
+    # geometric-corrected per-touch decay, composed in the KERNEL's pass
+    # order: user scatter, then the positive item block, then the negative
+    # window block (decay multiplies the updated table; gradients were all
+    # read at chunk start)
+    ck_u, gf_u = geo(cnt_u, dra)
+    v_u_n = v_u * ck_u[:, None] + gf_u[:, None] * g_vu
+    ck_ip, gf_ip = geo(cnt_ip, dra)
+    v_i_1 = v_i * ck_ip[:, None] + gf_ip[:, None] * g_vi_p
+    w_i_1 = w_i * ck_ip + gf_ip * g_wi_p
+    ck_in, gf_in = geo(cnt_in, dra)
+    v_i_n = v_i_1 * ck_in[:, None] + gf_in[:, None] * g_vi_n
+    w_i_n = w_i_1 * ck_in + gf_in * g_wi_n
+
+    ck_w, gf_w = geo(float(C), drb)
+    ck_v, gf_v = geo(cnt_q, drb)
+    ck_p, gf_p = geo(cnt_p, drb)
     w_if_n = w_if * ck_w + gf_w * g_wif
     v_if_n = v_if * ck_v[:, None] + gf_v[:, None] * g_vif
     v_uf_n = v_uf * ck_p[:, None] + gf_p[:, None] * g_vuf
