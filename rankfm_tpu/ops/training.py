@@ -59,7 +59,7 @@ import jax
 import jax.numpy as jnp
 
 from rankfm_tpu.ops.negatives import (
-    csr_member, sample_negatives, sample_negatives_bitmap)
+    bitmap_member, csr_member, sample_negatives, sample_negatives_bitmap)
 
 MARGIN = 1.0
 
@@ -81,6 +81,91 @@ def _decay_apply(wt, grad, counts, eta, reg):
     denom = counts * (1.0 - c)
     f = jnp.where(denom > 1e-12, (1.0 - ck) / jnp.maximum(denom, 1e-12), 1.0)
     return ck * wt + eta * f * grad
+
+
+def _apply_pair_updates(w, u, i, j, d, row_ok, v_u_b, user_rep_b, x_uf_b,
+                        v_i_pos, v_i_j, x_if_pos, x_if_j, feat_rep_pos,
+                        feat_rep_j, eta, alpha, beta, x_uf_any, x_if_any,
+                        pallas_scatter):
+    """Gradient accumulation + per-touch decayed table update for a batch of
+    selected (u, i, j) pairs — the update expressions of the reference's
+    per-sample loop (`_rankfm.pyx:272-326`), batched. Shared by the
+    candidate and window steps so their training semantics can never drift.
+
+    ``d`` is the per-row outer derivative (already masked by ``row_ok`` and
+    scaled by sample weight and the WARP multiplier)."""
+    d_col = d[:, None]
+    g_w_if = jnp.einsum("b,bq->q", d, x_if_pos - x_if_j,
+                        preferred_element_type=jnp.float32)
+    g_v_uf = jnp.einsum("b,bp,bf->pf", d, x_uf_b, v_i_pos - v_i_j,
+                        preferred_element_type=jnp.float32)
+    g_v_if = jnp.einsum("b,bq,bf->qf", d, x_if_pos - x_if_j, v_u_b,
+                        preferred_element_type=jnp.float32)
+
+    n_ok = jnp.sum(row_ok)
+    if x_if_any:
+        k_w_if = jnp.broadcast_to(n_ok, w["w_if"].shape)
+        # v_if[q] touched when x_if[i,q] != x_if[j,q]  (`_rankfm.pyx:321-326`)
+        k_v_if = jnp.einsum(
+            "b,bq->q", row_ok, (x_if_pos != x_if_j).astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+    else:
+        k_w_if = jnp.zeros_like(w["w_if"])
+        k_v_if = jnp.zeros(w["v_if"].shape[0], dtype=jnp.float32)
+    if x_uf_any:
+        # v_uf[p] touched when x_uf[u,p] != 0  (`_rankfm.pyx:313-318`)
+        k_v_uf = jnp.einsum(
+            "b,bp->p", row_ok, (x_uf_b != 0).astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+    else:
+        k_v_uf = jnp.zeros(w["v_uf"].shape[0], dtype=jnp.float32)
+
+    # d_v_u = (v_i[i] - v_i[j]) + v_ifᵀ(x_if[i] - x_if[j])  (`_rankfm.pyx:292,305`)
+    g_u_rows = d_col * ((v_i_pos - v_i_j) + (feat_rep_pos - feat_rep_j))
+    if pallas_scatter:
+        # tiled one-hot MXU scatter (XLA's TPU scatter is ~serial)
+        from rankfm_tpu.ops.scatter import apply_table_update
+
+        okb = row_ok > 0
+        c_a = jnp.maximum(1.0 - eta * 2.0 * alpha, 1e-8)
+        idx_i2 = jnp.concatenate([jnp.where(okb, i, -1),
+                                  jnp.where(okb, j, -1)])
+        gi = d_col * user_rep_b
+        ones = row_ok[:, None]
+        upd_i2 = jnp.concatenate([
+            jnp.concatenate([gi, d_col, ones], axis=1),
+            jnp.concatenate([-gi, -d_col, ones], axis=1),
+        ], axis=0)
+        v_i_new, w_i_new = apply_table_update(
+            w["v_i"], w["w_i"], idx_i2, upd_i2, eta, c_a)
+        idx_u = jnp.where(okb, u, -1)
+        upd_u = jnp.concatenate(
+            [g_u_rows, jnp.zeros_like(d_col), ones], axis=1)
+        v_u_new, _ = apply_table_update(
+            w["v_u"], jnp.zeros(w["v_u"].shape[0], jnp.float32),
+            idx_u, upd_u, eta, c_a)
+    else:
+        g_w_i = jnp.zeros_like(w["w_i"]).at[i].add(d).at[j].add(-d)
+        g_v_i = (
+            jnp.zeros_like(w["v_i"])
+            .at[i].add(d_col * user_rep_b)
+            .at[j].add(-d_col * user_rep_b)
+        )
+        g_v_u = jnp.zeros_like(w["v_u"]).at[u].add(g_u_rows)
+        k_i = jnp.zeros_like(w["w_i"]).at[i].add(row_ok).at[j].add(row_ok)
+        k_u = jnp.zeros(w["v_u"].shape[0], dtype=jnp.float32).at[u].add(row_ok)
+        w_i_new = _decay_apply(w["w_i"], g_w_i, k_i, eta, alpha)
+        v_i_new = _decay_apply(w["v_i"], g_v_i, k_i, eta, alpha)
+        v_u_new = _decay_apply(w["v_u"], g_v_u, k_u, eta, alpha)
+
+    return {
+        "w_i": w_i_new,
+        "v_i": v_i_new,
+        "v_u": v_u_new,
+        "w_if": _decay_apply(w["w_if"], g_w_if, k_w_if, eta, beta),
+        "v_uf": _decay_apply(w["v_uf"], g_v_uf, k_v_uf, eta, beta),
+        "v_if": _decay_apply(w["v_if"], g_v_if, k_v_if, eta, beta),
+    }
 
 
 def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
@@ -121,9 +206,14 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
                 cands = jnp.zeros_like(cands)
             cand_ok = jnp.ones((B, M), bool)
         elif sampler == "bitmap":
+            # honor the configured rounds: this pre-filtering branch runs
+            # exactly when histories are DENSE (sparse configs take the
+            # post_reject path with no rounds at all), so clamping rounds
+            # would leave (h/I)^rounds residual member slots at the density
+            # where it hurts
             cands, cand_ok = sample_negatives_bitmap(
                 key, u, hist["bitmap"], num_items, M,
-                rounds=max(1, min(sample_rounds, 2)),
+                rounds=max(1, sample_rounds),
             )
         else:
             cands, cand_ok = sample_negatives(
@@ -198,9 +288,8 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         if post_reject:
             if sampler == "bitmap":
                 def member_of_j(jj):
-                    word = hist["bitmap"][u, (jj >> 5).astype(jnp.int32)]
-                    return ((word >> (jj & 31).astype(jnp.uint32))
-                            & jnp.uint32(1)).astype(bool)
+                    return bitmap_member(
+                        hist["bitmap"], u, jj[:, None])[:, 0]
             else:
                 def member_of_j(jj):
                     return csr_member(hist["flat"], hist["offsets"], u, jj)
@@ -233,83 +322,11 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         x_if_j = x_if[j]                                      # [B, Q]
         feat_rep_j = jnp.dot(x_if_j, w["v_if"], preferred_element_type=jnp.float32)
 
-        # ---- accumulate gradients (scatter-add over the batch) ----
-        d_col = d[:, None]
-        g_w_if = jnp.einsum("b,bq->q", d, x_if_pos - x_if_j, preferred_element_type=jnp.float32)
-        g_v_uf = jnp.einsum(
-            "b,bp,bf->pf", d, x_uf_b, v_i_pos - v_i_j, preferred_element_type=jnp.float32
-        )
-        g_v_if = jnp.einsum(
-            "b,bq,bf->qf", d, x_if_pos - x_if_j, v_u_b, preferred_element_type=jnp.float32
-        )
-
-        n_ok = jnp.sum(row_ok)
-        if x_if_any:
-            k_w_if = jnp.broadcast_to(n_ok, w["w_if"].shape)
-            # v_if[q] touched when x_if[i,q] != x_if[j,q]  (`_rankfm.pyx:321-326`)
-            k_v_if = jnp.einsum(
-                "b,bq->q", row_ok, (x_if_pos != x_if_j).astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            k_w_if = jnp.zeros_like(w["w_if"])
-            k_v_if = jnp.zeros(w["v_if"].shape[0], dtype=jnp.float32)
-        if x_uf_any:
-            # v_uf[p] touched when x_uf[u,p] != 0  (`_rankfm.pyx:313-318`)
-            k_v_uf = jnp.einsum(
-                "b,bp->p", row_ok, (x_uf_b != 0).astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            k_v_uf = jnp.zeros(w["v_uf"].shape[0], dtype=jnp.float32)
-
-        # ---- apply the sparse (scattered) table updates ----
-        g_u_rows = d_col * ((v_i_pos - v_i_j) + (feat_rep_pos - feat_rep_j))
-        # d_v_u = (v_i[i] - v_i[j]) + v_ifᵀ(x_if[i] - x_if[j])  (`_rankfm.pyx:292,305`)
-        if pallas_scatter:
-            # tiled one-hot MXU scatter (XLA's TPU scatter is ~serial)
-            from rankfm_tpu.ops.scatter import apply_table_update
-
-            okb = row_ok > 0
-            c_a = jnp.maximum(1.0 - eta * 2.0 * alpha, 1e-8)
-            idx_i2 = jnp.concatenate([jnp.where(okb, i, -1),
-                                      jnp.where(okb, j, -1)])
-            gi = d_col * user_rep_b
-            ones = row_ok[:, None]
-            upd_i2 = jnp.concatenate([
-                jnp.concatenate([gi, d_col, ones], axis=1),
-                jnp.concatenate([-gi, -d_col, ones], axis=1),
-            ], axis=0)
-            v_i_new, w_i_new = apply_table_update(
-                w["v_i"], w["w_i"], idx_i2, upd_i2, eta, c_a)
-            idx_u = jnp.where(okb, u, -1)
-            upd_u = jnp.concatenate(
-                [g_u_rows, jnp.zeros_like(d_col), ones], axis=1)
-            v_u_new, _ = apply_table_update(
-                w["v_u"], jnp.zeros(w["v_u"].shape[0], jnp.float32),
-                idx_u, upd_u, eta, c_a)
-        else:
-            g_w_i = jnp.zeros_like(w["w_i"]).at[i].add(d).at[j].add(-d)
-            g_v_i = (
-                jnp.zeros_like(w["v_i"])
-                .at[i].add(d_col * user_rep_b)
-                .at[j].add(-d_col * user_rep_b)
-            )
-            g_v_u = jnp.zeros_like(w["v_u"]).at[u].add(g_u_rows)
-            k_i = jnp.zeros_like(w["w_i"]).at[i].add(row_ok).at[j].add(row_ok)
-            k_u = jnp.zeros(w["v_u"].shape[0], dtype=jnp.float32).at[u].add(row_ok)
-            w_i_new = _decay_apply(w["w_i"], g_w_i, k_i, eta, alpha)
-            v_i_new = _decay_apply(w["v_i"], g_v_i, k_i, eta, alpha)
-            v_u_new = _decay_apply(w["v_u"], g_v_u, k_u, eta, alpha)
-
-        new_w = {
-            "w_i": w_i_new,
-            "v_i": v_i_new,
-            "v_u": v_u_new,
-            "w_if": _decay_apply(w["w_if"], g_w_if, k_w_if, eta, beta),
-            "v_uf": _decay_apply(w["v_uf"], g_v_uf, k_v_uf, eta, beta),
-            "v_if": _decay_apply(w["v_if"], g_v_if, k_v_if, eta, beta),
-        }
+        # ---- gradients + decayed table updates (shared helper) ----
+        new_w = _apply_pair_updates(
+            w, u, i, j, d, row_ok, v_u_b, user_rep_b, x_uf_b,
+            v_i_pos, v_i_j, x_if_pos, x_if_j, feat_rep_pos, feat_rep_j,
+            eta, alpha, beta, x_uf_any, x_if_any, pallas_scatter)
         return new_w, ll
 
     return step
@@ -339,13 +356,13 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     LW = BLK // BITS_PER_LANE
-    NBLK = I_pad // BLK
     lg_lw = LW.bit_length() - 1
     real_cum = window_block_cdf(num_items)
 
     def step(w, x_uf, x_if, packed_hist, u, i, sw, valid, eta, alpha, beta, key):
         B = u.shape[0]
-        # G independent windows per batch (one per ~512-row group): negatives
+        # G independent windows per batch, one per 128-255-row group (the
+        # loop doubles G until the group lands in [128, 256)): negatives
         # drawn from a single shared window over-correlate the j choices
         # within a batch and cluster stale pushes on one block
         G = 1
@@ -355,11 +372,15 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
         kblk, kcand, kgeo = jax.random.split(key, 3)
         blkg = draw_window_blocks(kblk, (G,), num_items, real_cum)
 
-        # ---- window membership bits (blocked 16-bit pack, tile layout) ----
+        # ---- window membership bits (blocked 16-bit pack, tile layout).
+        # Gather the batch's USER ROWS first ([B, W] — batch-sized), THEN
+        # slice each group's window lanes: slicing packed_hist before the
+        # row gather would materialize a [G, num_users, LW] intermediate
+        # (user-count-scaled HBM traffic per scan step). ----
         u3 = u.reshape(G, Bg)
-        win_cols = jax.vmap(lambda b: jax.lax.dynamic_slice_in_dim(
-            packed_hist, b * LW, LW, axis=1))(blkg)           # [G, U, LW]
-        rows = jax.vmap(lambda wc, ug: wc[ug])(win_cols, u3)  # [G, Bg, LW]
+        rows_full = packed_hist[u3]                           # [G, Bg, W]
+        rows = jax.vmap(lambda rf, b: jax.lax.dynamic_slice_in_dim(
+            rf, b * LW, LW, axis=1))(rows_full, blkg)         # [G, Bg, LW]
         col = jnp.arange(BLK, dtype=jnp.int32)[None, None, :]
         bits = jnp.tile(rows, (1, 1, BITS_PER_LANE))          # [G, Bg, BLK]
         nonmem = ((bits >> (col >> lg_lw)) & 1) == 0          # pad items = member
@@ -452,77 +473,12 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
         d = row_ok * sw * multiplier * jax.nn.sigmoid(-pw_sel)
         ll = jnp.sum(row_ok * jax.nn.log_sigmoid(pw_sel))
 
-        # ---- gradients: identical update expressions to make_train_step ----
-        d_col = d[:, None]
-        g_w_if = jnp.einsum("b,bq->q", d, x_if_pos - x_if_j, preferred_element_type=jnp.float32)
-        g_v_uf = jnp.einsum(
-            "b,bp,bf->pf", d, x_uf_b, v_i_pos - v_i_j, preferred_element_type=jnp.float32
-        )
-        g_v_if = jnp.einsum(
-            "b,bq,bf->qf", d, x_if_pos - x_if_j, v_u_b, preferred_element_type=jnp.float32
-        )
-        n_ok = jnp.sum(row_ok)
-        if x_if_any:
-            k_w_if = jnp.broadcast_to(n_ok, w["w_if"].shape)
-            k_v_if = jnp.einsum(
-                "b,bq->q", row_ok, (x_if_pos != x_if_j).astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            k_w_if = jnp.zeros_like(w["w_if"])
-            k_v_if = jnp.zeros(w["v_if"].shape[0], dtype=jnp.float32)
-        if x_uf_any:
-            k_v_uf = jnp.einsum(
-                "b,bp->p", row_ok, (x_uf_b != 0).astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            k_v_uf = jnp.zeros(w["v_uf"].shape[0], dtype=jnp.float32)
-
-        g_u_rows = d_col * ((v_i_pos - v_i_j) + (feat_rep_pos - feat_rep_j))
-        if pallas_scatter:
-            from rankfm_tpu.ops.scatter import apply_table_update
-
-            okb = row_ok > 0
-            c_a = jnp.maximum(1.0 - eta * 2.0 * alpha, 1e-8)
-            idx_i2 = jnp.concatenate([jnp.where(okb, i, -1),
-                                      jnp.where(okb, j, -1)])
-            gi = d_col * user_rep_b
-            ones = row_ok[:, None]
-            upd_i2 = jnp.concatenate([
-                jnp.concatenate([gi, d_col, ones], axis=1),
-                jnp.concatenate([-gi, -d_col, ones], axis=1),
-            ], axis=0)
-            v_i_new, w_i_new = apply_table_update(
-                w["v_i"], w["w_i"], idx_i2, upd_i2, eta, c_a)
-            idx_u = jnp.where(okb, u, -1)
-            upd_u = jnp.concatenate(
-                [g_u_rows, jnp.zeros_like(d_col), ones], axis=1)
-            v_u_new, _ = apply_table_update(
-                w["v_u"], jnp.zeros(w["v_u"].shape[0], jnp.float32),
-                idx_u, upd_u, eta, c_a)
-        else:
-            g_w_i = jnp.zeros_like(w["w_i"]).at[i].add(d).at[j].add(-d)
-            g_v_i = (
-                jnp.zeros_like(w["v_i"])
-                .at[i].add(d_col * user_rep_b)
-                .at[j].add(-d_col * user_rep_b)
-            )
-            g_v_u = jnp.zeros_like(w["v_u"]).at[u].add(g_u_rows)
-            k_i = jnp.zeros_like(w["w_i"]).at[i].add(row_ok).at[j].add(row_ok)
-            k_u = jnp.zeros(w["v_u"].shape[0], dtype=jnp.float32).at[u].add(row_ok)
-            w_i_new = _decay_apply(w["w_i"], g_w_i, k_i, eta, alpha)
-            v_i_new = _decay_apply(w["v_i"], g_v_i, k_i, eta, alpha)
-            v_u_new = _decay_apply(w["v_u"], g_v_u, k_u, eta, alpha)
-
-        new_w = {
-            "w_i": w_i_new,
-            "v_i": v_i_new,
-            "v_u": v_u_new,
-            "w_if": _decay_apply(w["w_if"], g_w_if, k_w_if, eta, beta),
-            "v_uf": _decay_apply(w["v_uf"], g_v_uf, k_v_uf, eta, beta),
-            "v_if": _decay_apply(w["v_if"], g_v_if, k_v_if, eta, beta),
-        }
+        # ---- gradients + decayed table updates (shared helper; identical
+        # update expressions to make_train_step by construction) ----
+        new_w = _apply_pair_updates(
+            w, u, i, j, d, row_ok, v_u_b, user_rep_b, x_uf_b,
+            v_i_pos, v_i_j, x_if_pos, x_if_j, feat_rep_pos, feat_rep_j,
+            eta, alpha, beta, x_uf_any, x_if_any, pallas_scatter)
         return new_w, ll
 
     return step
@@ -531,7 +487,8 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
 @lru_cache(maxsize=32)
 def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
                   sample_rounds=8, donate=True, sampler="bsearch",
-                  pallas_scatter=False, step_kind="window", post_reject=True):
+                  pallas_scatter=False, step_kind="window",
+                  post_reject=False):
     """Build the jitted whole-epoch function.
 
     One epoch = device-side shuffle + `lax.scan` over minibatches of the
@@ -564,6 +521,21 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
                                sample_rounds, sampler, pallas_scatter,
                                post_reject=post_reject)
 
+    epoch_fn = make_epoch_body(step, batch_size)
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(epoch_fn, static_argnums=(7,), donate_argnums=donate_argnums)
+
+
+def make_epoch_body(step, batch_size):
+    """Un-jitted epoch driver around a single-batch ``step``: device-side
+    shuffle, per-batch PRNG streams (``fold_in(fold_in(key, epoch), t)``),
+    validity masking of pad rows, and a `lax.scan` over minibatches.
+
+    Shared by the single-device path (`make_epoch_fn`) and the GSPMD
+    sharded path (`rankfm_tpu/parallel/train.py`) so the two can never
+    drift in shuffle/PRNG/validity conventions — the documented guarantee
+    that mesh and single-chip runs train identically rests on this."""
+
     def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta,
                  key, epoch):
         n_pad = u.shape[0]
@@ -589,5 +561,4 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
         w, lls = jax.lax.scan(body, w, (ub, ib, swb, vb, jnp.arange(nb)))
         return w, jnp.sum(lls)
 
-    donate_argnums = (0,) if donate else ()
-    return jax.jit(epoch_fn, static_argnums=(7,), donate_argnums=donate_argnums)
+    return epoch_fn

@@ -134,29 +134,10 @@ def _cached_sharded_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
                    "bitmap": NamedSharding(mesh, P("model", None))
                    if sampler == "bitmap" else rep}
 
-    import jax.numpy as jnp
-
-    def epoch_fn(w, x_uf, x_if, hist, u, i, sw, n_real, eta, alpha, beta,
-                 key, epoch):
-        n_pad = u.shape[0]
-        nb = n_pad // batch_size
-        kperm, ksamp = jax.random.split(jax.random.fold_in(key, epoch))
-        perm = jax.random.permutation(kperm, n_pad)
-        valid = perm < n_real
-        ub = u[perm].reshape(nb, batch_size)
-        ib = i[perm].reshape(nb, batch_size)
-        swb = sw[perm].reshape(nb, batch_size)
-        vb = valid.reshape(nb, batch_size)
-
-        def body(carry, xs):
-            wc = carry
-            ub_, ib_, swb_, vb_, t = xs
-            wc, ll = step(wc, x_uf, x_if, hist, ub_, ib_, swb_, vb_,
-                          eta, alpha, beta, jax.random.fold_in(ksamp, t))
-            return wc, ll
-
-        w, lls = jax.lax.scan(body, w, (ub, ib, swb, vb, jnp.arange(nb)))
-        return w, jnp.sum(lls)
+    # identical shuffle/PRNG/validity conventions to the single-device path
+    # BY CONSTRUCTION (same epoch-body builder)
+    from rankfm_tpu.ops.training import make_epoch_body
+    epoch_fn = make_epoch_body(step, batch_size)
 
     in_shardings = (ws, fs["x_uf"], fs["x_if"], hist_sh,
                     bs_sh, bs_sh, bs_sh, rep, rep, rep, rep, rep)
