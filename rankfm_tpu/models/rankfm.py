@@ -214,8 +214,10 @@ class RankFM:
         self._ingest_hash = None
         self._keep_cache = None
 
+        self._user_items_view = None
         self._epoch_fn = None
         self._epoch_fn_key = None
+        self._epoch_offset = 0  # PRNG stream position across fit_partial
         self._topk_fns = {}
         self._score_fn = jax.jit(scoring.score_pairs)
 
@@ -255,10 +257,16 @@ class RankFM:
 
     @property
     def user_items(self):
-        """reference-compatible dict view of per-user item histories (`rankfm.py:174`)"""
+        """reference-compatible dict view of per-user item histories
+        (`rankfm.py:174`), cached — code that iterates the attribute like
+        the reference's stored dict would otherwise rebuild it (an O(U)
+        Python loop) on EVERY access"""
         if self._ui_offsets is None:
             return None
-        return csr_to_dict(self._ui_offsets, self._ui_items)
+        if self._user_items_view is None:
+            self._user_items_view = csr_to_dict(
+                self._ui_offsets, self._ui_items)
+        return self._user_items_view
 
     def _init_all(self, interactions, user_features=None, item_features=None, sample_weight=None):
         """index interactions/features and initialize weights (`rankfm.py:100-137`)"""
@@ -330,6 +338,7 @@ class RankFM:
         self._packed_hist = None  # fused-kernel history caches (rebuilt lazily)
         self._win_cols = None
         self._rec_cache = None
+        self._user_items_view = None  # history changed: drop the dict view
 
         # membership strategy: packed bitmap when affordable (one row gather
         # per batch beats O(log nnz) binary-search rounds on TPU); the bitmap
@@ -540,6 +549,13 @@ class RankFM:
         bs = self._auto_batch_size(n, fused=fused_possible)
 
         base_key = jax.random.PRNGKey(self.seed)
+        # continue the PRNG stream across fit_partial calls: the reference's
+        # module-level RNGs keep their state between calls (`_rankfm.pyx:182`
+        # seeds once per _fit but numpy's shuffle state persists), so a
+        # warm-start loop `for _: fit_partial(epochs=1)` must NOT replay the
+        # same shuffle/negative stream every call. The eta schedule still
+        # restarts per call (reference parity, `_rankfm.pyx:220-225`).
+        rng_off = self._epoch_offset
 
         # dispatch: fused Pallas kernel (tables in VMEM, one-hot MXU
         # gather/scatter) when eligible, else the XLA step
@@ -562,9 +578,18 @@ class RankFM:
                 print("\ntraining epoch:", epoch)
                 print("log likelihood:", round(float(ll) - penalty, 2))
 
+        fit_t0 = _time.time()
+
         def _finish_epochs():
-            lls = [float(x) for x in jax.device_get(epoch_lls)]
+            lls = [float(x) for x in jax.device_get(epoch_lls)]  # syncs
             self._assert_finite()
+            if not verbose and epoch_secs:
+                # non-verbose epochs dispatch asynchronously (deliberately —
+                # they pipeline back-to-back on device), so the per-epoch
+                # dt is enqueue time, not compute. Report the honest
+                # average of the synced wall clock instead.
+                avg = (_time.time() - fit_t0) / len(epoch_secs)
+                epoch_secs[:] = [avg] * len(epoch_secs)
             for epoch, (llv, dt) in enumerate(zip(lls, epoch_secs)):
                 self.training_log_.append({
                     "epoch": epoch, "eta": _eta(epoch), "log_likelihood": llv,
@@ -608,15 +633,18 @@ class RankFM:
             # sparser past must not outlive the threshold crossing.
             density = len(self._ui_items) / max(U * num_items, 1)
             post_reject = density < 0.02
+            # len(_ui_items) keys the hist['flat'] SHAPE: fit_partial's
+            # history union grows it, and an AOT-cached executable replayed
+            # with a differently-shaped operand is a crash, not a retrace
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs_x,
                       n_pad, self._sampler, self.mesh is not None, step_kind,
-                      self.dp_sync_every, post_reject,
+                      self.dp_sync_every, post_reject, len(self._ui_items),
                       tuple(v.shape for v in self._weights.values()))
             if self._epoch_fn is None or self._epoch_fn_key != fn_key:
                 if self.mesh is not None:
                     from rankfm_tpu.parallel.train import (
-                        DP_TABLE_BYTES, make_sharded_epoch_fn, place_weights,
-                        place_weights_replicated)
+                        make_sharded_epoch_fn, place_weights,
+                        place_weights_replicated, uses_dp)
                     tbytes = sum(int(np.prod(v.shape)) * 4
                                  for v in self._weights.values())
                     self._epoch_fn = make_sharded_epoch_fn(
@@ -626,7 +654,9 @@ class RankFM:
                         table_bytes=tbytes,
                         dp_sync_every=self.dp_sync_every,
                     )
-                    if tbytes <= DP_TABLE_BYTES:
+                    # placement must agree with the epoch fn's in_shardings
+                    # — same decision function, not a re-derived condition
+                    if uses_dp(self.mesh, bs_x, tbytes):
                         self._weights = place_weights_replicated(
                             self.mesh, self._weights)
                     else:
@@ -669,7 +699,7 @@ class RankFM:
                     w, self._x_uf_dev, self._x_if_dev, hist,
                     u_dev, i_dev, sw_dev, n,
                     float(_eta(epoch)), float(self.alpha), float(self.beta),
-                    base_key, epoch,
+                    base_key, rng_off + epoch,
                 )
                 self._weights = w
                 _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
@@ -691,9 +721,13 @@ class RankFM:
             # grouped records are ~16 B/row; cache across fit_partial calls
             # (repeated fits on identical data would otherwise pay the host
             # layout + a multi-MB host->device transfer per call)
-            import zlib
-            rec_key = (self._ingest_hash, bs, chunk, n,
-                       zlib.adler32(np.ascontiguousarray(self.sample_weight)))
+            import hashlib
+            # sha256, not a weak checksum: a collision here silently trains
+            # every epoch with STALE per-row weights baked into the cached
+            # record layout (~10 ms for ML-1M-sized vectors, paid once)
+            sw_hash = hashlib.sha256(
+                np.ascontiguousarray(self.sample_weight).tobytes()).digest()
+            rec_key = (self._ingest_hash, bs, chunk, n, sw_hash)
             cached = getattr(self, "_rec_cache", None)
             if cached is not None and cached[0] == rec_key \
                     and self._ingest_hash is not None:
@@ -795,42 +829,31 @@ class RankFM:
                                    table_bf16, x_uf_any, x_if_any, nw_tail),
                         tag="fused_epoch")
 
-            for epoch in range(epochs - n_tail):
-                t0 = _time.time()
-                if has_feat:
-                    tab_u, tab_i, tab_uf, tab_if, ll = epoch_fn(
-                        tab_u, tab_i, self._win_cols, rec_dev, group_dev,
-                        cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
-                        float(self.alpha), base_key, epoch,
-                        xuf_pad, xif_pad, tab_uf, tab_if, float(self.beta))
-                else:
-                    tab_u, tab_i, ll = epoch_fn(
-                        tab_u, tab_i, self._win_cols, rec_dev, group_dev,
-                        cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
-                        float(self.alpha), base_key, epoch)
-                if verbose:
-                    # reference-style live epoch reporting needs the weights
-                    # pulled back each epoch (`_rankfm.pyx:328-336`)
-                    _pull_back()
-                _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
-            if n_tail and wide_tail_fn is not None:
-                for epoch in range(epochs - n_tail, epochs):
+            def _run_fused_epochs(fn, epoch_range):
+                nonlocal tab_u, tab_i, tab_uf, tab_if
+                for epoch in epoch_range:
                     t0 = _time.time()
                     if has_feat:
-                        tab_u, tab_i, tab_uf, tab_if, ll = wide_tail_fn(
+                        tab_u, tab_i, tab_uf, tab_if, ll = fn(
                             tab_u, tab_i, self._win_cols, rec_dev, group_dev,
                             cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
-                            float(self.alpha), base_key, epoch,
+                            float(self.alpha), base_key, rng_off + epoch,
                             xuf_pad, xif_pad, tab_uf, tab_if,
                             float(self.beta))
                     else:
-                        tab_u, tab_i, ll = wide_tail_fn(
+                        tab_u, tab_i, ll = fn(
                             tab_u, tab_i, self._win_cols, rec_dev, group_dev,
                             cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
-                            float(self.alpha), base_key, epoch)
+                            float(self.alpha), base_key, rng_off + epoch)
                     if verbose:
+                        # reference-style live epoch reporting needs the
+                        # weights pulled back each epoch (`_rankfm.pyx:328-336`)
                         _pull_back()
                     _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
+
+            _run_fused_epochs(epoch_fn, range(epochs - n_tail))
+            if n_tail and wide_tail_fn is not None:
+                _run_fused_epochs(wide_tail_fn, range(epochs - n_tail, epochs))
                 _pull_back()
                 _finish_epochs()
             else:
@@ -843,6 +866,7 @@ class RankFM:
             _run_xla_epochs(range(epochs))
             _finish_epochs()
 
+        self._epoch_offset += epochs  # fresh streams on the next fit_partial
         self.is_fit = True
         return self
 
@@ -917,6 +941,11 @@ class RankFM:
         known = ~np.isnan(user_idx)
         known_idx = user_idx[known].astype(np.int32)
 
+        # can't recommend more items than the catalog holds (lax.top_k
+        # requires k <= I); the reference's per-user argsort select has the
+        # same natural ceiling (`_rankfm.pyx:444-456`)
+        n_items = min(int(n_items), len(self.item_idx))
+
         use_bitmap_filter = (
             filter_previous and self.mesh is None and self._sampler == 'bitmap'
         )
@@ -939,7 +968,17 @@ class RankFM:
             bitmap = self._ensure_bitmap() if use_bitmap_filter else None
             chunks = []
             chunk_sz = _recommend_chunk(len(self.item_idx))
-            for s in range(0, len(known_idx), chunk_sz):
+            starts = range(0, len(known_idx), chunk_sz)
+            seen_chunks = cap = None
+            if filter_previous and not use_bitmap_filter:
+                # ONE pad bucket for the whole call: a per-chunk pow2 cap
+                # varies chunk to chunk and each distinct cap is a fresh
+                # jit compile of the [chunk, I] matmul+top_k program
+                seen_chunks = [self._seen_pairs_for(known_idx[s:s + chunk_sz])
+                               for s in starts]
+                cap = _next_pow2(max(
+                    (len(r) for r, _ in seen_chunks), default=1) or 1)
+            for ci, s in enumerate(starts):
                 batch = known_idx[s:s + chunk_sz]
                 bsz = len(batch)
                 pad = np.zeros(chunk_sz, dtype=np.int32)
@@ -950,9 +989,8 @@ class RankFM:
                         jnp.asarray(pad), bitmap,
                     )
                 else:
-                    if filter_previous:
-                        rows, cols = self._seen_pairs_for(batch)
-                        cap = _next_pow2(max(len(rows), 1))
+                    if seen_chunks is not None:
+                        rows, cols = seen_chunks[ci]
                         rows_p = np.full(cap, -1, dtype=np.int32)
                         cols_p = np.zeros(cap, dtype=np.int32)
                         rows_p[:len(rows)] = rows

@@ -249,6 +249,19 @@ def _cached_dp_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
 DP_TABLE_BYTES = 256 * 2**20
 
 
+def uses_dp(mesh, batch_size, table_bytes):
+    """Single source of truth for the DP-vs-GSPMD choice: data-parallel
+    (replicated tables, delta-psum) needs the weight pytree to fit per chip
+    AND the batch to shard evenly over the devices. Callers that PLACE
+    weights (replicated vs row-sharded) must consult this too — a placement
+    that disagrees with the epoch fn's in_shardings is a resharding (or an
+    error) at the first call."""
+    n_dev = 1
+    for v in mesh.shape.values():
+        n_dev *= v
+    return table_bytes <= DP_TABLE_BYTES and batch_size % n_dev == 0
+
+
 def make_sharded_epoch_fn(mesh, num_items, max_samples, x_uf_any, x_if_any,
                           batch_size, sample_rounds=8, sampler="bsearch",
                           step_kind="window", dp=None, table_bytes=0,
@@ -267,12 +280,9 @@ def make_sharded_epoch_fn(mesh, num_items, max_samples, x_uf_any, x_if_any,
     lever when hosts are linked by DCN rather than ICI. K = 1 (default)
     syncs every batch."""
     if dp is None:
-        dp = table_bytes <= DP_TABLE_BYTES
-    n_dev = 1
-    for v in mesh.shape.values():
-        n_dev *= v
-    if dp and batch_size % n_dev != 0:
-        dp = False          # batch not evenly shardable -> GSPMD path
+        dp = uses_dp(mesh, batch_size, table_bytes)
+    else:
+        dp = dp and uses_dp(mesh, batch_size, 0)
     if dp:
         return _cached_dp_epoch(_MeshKey(mesh), num_items, max_samples,
                                 bool(x_uf_any), bool(x_if_any), batch_size,

@@ -359,6 +359,29 @@ def test_seeded_fits_are_deterministic():
         np.testing.assert_array_equal(a, b)
 
 
+def test_fit_partial_continues_prng_stream():
+    """fit_partial must NOT replay the same shuffle/negative stream every
+    call (the reference's module-level RNG state persists across calls):
+    with a constant eta, fit(epochs=2) and fit(1)+fit_partial(1) on the
+    same data must walk the SAME two epoch streams and land on identical
+    weights."""
+    rng = np.random.default_rng(5)
+    train = np.stack([rng.integers(0, 30, 600), rng.integers(0, 50, 600)], 1)
+
+    one = RankFM(factors=4, loss='warp', max_samples=4, batch_size=256,
+                 seed=99, learning_schedule='constant')
+    one.fit(train, epochs=2)
+
+    two = RankFM(factors=4, loss='warp', max_samples=4, batch_size=256,
+                 seed=99, learning_schedule='constant')
+    two.fit(train, epochs=1)
+    two.fit_partial(train, epochs=1)
+
+    np.testing.assert_array_equal(one.v_u, two.v_u)
+    np.testing.assert_array_equal(one.v_i, two.v_i)
+    np.testing.assert_array_equal(one.w_i, two.w_i)
+
+
 def test_evaluation_metrics_match_hand_computed_oracle():
     """pin hit_rate/MRR/DCG/precision/recall definitions on a crafted case
     (`/root/reference/rankfm/evaluation.py:32,59-60,87-88,115,142`)"""
