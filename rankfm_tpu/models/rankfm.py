@@ -636,10 +636,12 @@ class RankFM:
             # len(_ui_items) keys the hist['flat'] SHAPE: fit_partial's
             # history union grows it, and an AOT-cached executable replayed
             # with a differently-shaped operand is a crash, not a retrace
+            mrl = (int(np.diff(self._ui_offsets).max())
+                   if len(self._ui_offsets) > 1 else 1)
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs_x,
                       n_pad, self._sampler, self.mesh is not None, step_kind,
                       self.dp_sync_every, post_reject, len(self._ui_items),
-                      tuple(v.shape for v in self._weights.values()))
+                      mrl, tuple(v.shape for v in self._weights.values()))
             if self._epoch_fn is None or self._epoch_fn_key != fn_key:
                 if self.mesh is not None:
                     from rankfm_tpu.parallel.train import (
@@ -671,7 +673,7 @@ class RankFM:
                         sample_rounds=self.sample_rounds, sampler=self._sampler,
                         pallas_scatter=_on_tpu() and F <= 126,
                         step_kind=step_kind,
-                        post_reject=post_reject,
+                        post_reject=post_reject, max_row_len=mrl,
                     )
                     # AOT warm-start (see fused path below): skip the
                     # cold compile when a serialized executable exists

@@ -19,12 +19,14 @@ import jax
 import jax.numpy as jnp
 
 
-def csr_member(flat_items, offsets, u, j):
+def csr_member(flat_items, offsets, u, j, max_row_len=None):
     """Vectorized membership test: is item ``j`` in user ``u``'s sorted row?
 
     ``u`` and ``j`` are int32 arrays of identical (arbitrary) shape.
     Returns a bool array of the same shape. Binary search with a static trip
-    count of ceil(log2(max_row_len)) + 1.
+    count of ceil(log2(max_row_len)) + 1 — pass the host-known longest row
+    (``np.diff(offsets).max()``) to avoid the loose total-nnz bound
+    (~20 rounds at ML-1M nnz where the longest history needs ~12).
     """
     nnz = flat_items.shape[0]
     if nnz == 0:
@@ -32,7 +34,7 @@ def csr_member(flat_items, offsets, u, j):
     lo = offsets[u].astype(jnp.int32)
     hi = offsets[u + 1].astype(jnp.int32)
     # max possible row length bounds the search depth
-    iters = max(1, int(nnz).bit_length())
+    iters = max(1, int(max_row_len if max_row_len else nnz).bit_length())
 
     def body(_, carry):
         lo, hi = carry
@@ -70,7 +72,13 @@ def bitmap_member(bitmap_words, u, j):
     (``bitmap[u]``) plus an in-row take_along_axis — far cheaper on TPU than
     per-element 2-D gathers.
     """
-    rows = bitmap_words[u]                                    # [B, words]
+    return _rows_member(bitmap_words[u], j)
+
+
+def _rows_member(rows, j):
+    """Bit test of items ``j [B, K]`` against pre-gathered bitmap rows
+    ``rows [B, words]`` — the single home of the word/bit layout contract
+    (`build_bitmap_words`)."""
     word = jnp.take_along_axis(rows, (j >> 5).astype(jnp.int32), axis=1)
     bit = (word >> (j & 31).astype(jnp.uint32)) & jnp.uint32(1)
     return bit.astype(bool)
@@ -91,9 +99,7 @@ def sample_negatives_bitmap(key, u, bitmap_words, num_items, max_samples, rounds
     rows = bitmap_words[u]                                    # [B, words] one gather
 
     def member_of(j):
-        word = jnp.take_along_axis(rows, (j >> 5).astype(jnp.int32), axis=1)
-        bit = (word >> (j & 31).astype(jnp.uint32)) & jnp.uint32(1)
-        return bit.astype(bool)
+        return _rows_member(rows, j)
 
     keys = jax.random.split(key, rounds)
     chosen = jax.random.randint(keys[0], (B, M), 0, num_items, dtype=jnp.int32)
@@ -105,13 +111,15 @@ def sample_negatives_bitmap(key, u, bitmap_words, num_items, max_samples, rounds
     return chosen, ~still_member
 
 
-def sample_negatives(key, u, offsets, flat_items, num_items, max_samples, rounds=8):
+def sample_negatives(key, u, offsets, flat_items, num_items, max_samples,
+                     rounds=8, max_row_len=None):
     """Draw ``[B, max_samples]`` candidate negative items for each user in ``u``.
 
     Rejection sampling with ``rounds`` fixed re-draw rounds against the user's
     history. Returns ``(candidates int32 [B, M], valid bool [B, M])`` where
     ``valid`` is False for the (vanishingly rare) candidates still in-history
-    after all rounds.
+    after all rounds. ``max_row_len`` tightens the per-round binary-search
+    depth (see `csr_member`).
     """
     B = u.shape[0]
     M = max_samples
@@ -122,7 +130,7 @@ def sample_negatives(key, u, offsets, flat_items, num_items, max_samples, rounds
 
     keys = jax.random.split(key, rounds + 1)
     cand = draw(keys[0])
-    member = csr_member(flat_items, offsets, u_bm, cand)
+    member = csr_member(flat_items, offsets, u_bm, cand, max_row_len)
 
     def body(r, carry):
         cand, member = carry
@@ -130,7 +138,7 @@ def sample_negatives(key, u, offsets, flat_items, num_items, max_samples, rounds
             jax.random.fold_in(keys[1], r), (B, M), 0, num_items, dtype=jnp.int32
         )
         cand = jnp.where(member, fresh, cand)
-        member = csr_member(flat_items, offsets, u_bm, cand)
+        member = csr_member(flat_items, offsets, u_bm, cand, max_row_len)
         return cand, member
 
     cand, member = jax.lax.fori_loop(0, rounds, body, (cand, member))

@@ -58,12 +58,19 @@ def score_pairs(w, x_uf, x_if, u_idx, i_idx):
     Equivalent to looping `compute_ui_utility` over the pairs
     (`_rankfm.pyx:345-390`) but fully batched.
     """
-    ur = user_reps(w, x_uf)
-    ir = item_reps(w, x_if)
-    ib = item_biases(w, x_if)
-    return score_pairs_from_reps(
-        ur[u_idx], w["v_u"][u_idx], w["v_i"][i_idx], ir[i_idx], ib[i_idx]
-    )
+    # gather FIRST: reps are row-wise linear, so rep[idx] == gathered-row
+    # math — computing full [U,F]/[I,F] tables to keep B rows would cost
+    # O(U+I) HBM traffic per call on million-row catalogs
+    v_u_b = w["v_u"][u_idx]
+    v_i_b = w["v_i"][i_idx]
+    ur_b = v_u_b + jnp.dot(x_uf[u_idx], w["v_uf"],
+                           preferred_element_type=jnp.float32)
+    x_if_b = x_if[i_idx]
+    ir_b = v_i_b + jnp.dot(x_if_b, w["v_if"],
+                           preferred_element_type=jnp.float32)
+    ib_b = w["w_i"][i_idx] + jnp.dot(x_if_b, w["w_if"],
+                                     preferred_element_type=jnp.float32)
+    return score_pairs_from_reps(ur_b, v_u_b, v_i_b, ir_b, ib_b)
 
 
 def score_all_items(w, x_uf, x_if, u_idx):
@@ -72,9 +79,12 @@ def score_all_items(w, x_uf, x_if, u_idx):
     The MXU path behind `recommend` — replaces the reference's per-user,
     per-item scalar loop (`_rankfm.pyx:432-441`).
     """
-    ur = user_reps(w, x_uf)          # [U, F]
+    v_u_b = w["v_u"][u_idx]          # gather-first on the user side: only
+    ur_b = v_u_b + jnp.dot(          # the item side legitimately needs the
+        x_uf[u_idx], w["v_uf"],      # full table
+        preferred_element_type=jnp.float32)
     ir = item_reps(w, x_if)          # [I, F]
     ib = item_biases(w, x_if)        # [I]
-    u_mat = jnp.concatenate([ur[u_idx], w["v_u"][u_idx]], axis=-1)       # [B, 2F]
+    u_mat = jnp.concatenate([ur_b, v_u_b], axis=-1)                      # [B, 2F]
     i_mat = jnp.concatenate([w["v_i"], ir - w["v_i"]], axis=-1)          # [I, 2F]
     return jnp.dot(u_mat, i_mat.T, preferred_element_type=jnp.float32) + ib[None, :]

@@ -169,7 +169,8 @@ def _apply_pair_updates(w, u, i, j, d, row_ok, v_u_b, user_rep_b, x_uf_b,
 
 
 def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
-                    sampler="bsearch", pallas_scatter=False, post_reject=False):
+                    sampler="bsearch", pallas_scatter=False, post_reject=False,
+                    max_row_len=None):
     """Build the jittable single-batch training step.
 
     Static configuration: catalog size, WARP width, whether user/item features
@@ -218,7 +219,7 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
         else:
             cands, cand_ok = sample_negatives(
                 key, u, hist["offsets"], hist["flat"], num_items, M,
-                rounds=sample_rounds,
+                rounds=sample_rounds, max_row_len=max_row_len,
             )  # [B, M]
 
         # ---- gather user-side rows; score positives + candidates ----
@@ -292,7 +293,8 @@ def make_train_step(num_items, max_samples, x_uf_any, x_if_any, sample_rounds=8,
                         hist["bitmap"], u, jj[:, None])[:, 0]
             else:
                 def member_of_j(jj):
-                    return csr_member(hist["flat"], hist["offsets"], u, jj)
+                    return csr_member(hist["flat"], hist["offsets"], u, jj,
+                                      max_row_len)
             # membership of the selected negative only; mask a member slot
             # and re-select (second members are ~(h/I)^2-rare: drop the row)
             for _ in range(2):
@@ -488,7 +490,7 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
 def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
                   sample_rounds=8, donate=True, sampler="bsearch",
                   pallas_scatter=False, step_kind="window",
-                  post_reject=False):
+                  post_reject=False, max_row_len=None):
     """Build the jitted whole-epoch function.
 
     One epoch = device-side shuffle + `lax.scan` over minibatches of the
@@ -519,7 +521,8 @@ def make_epoch_fn(num_items, max_samples, x_uf_any, x_if_any, batch_size,
     else:
         step = make_train_step(num_items, max_samples, x_uf_any, x_if_any,
                                sample_rounds, sampler, pallas_scatter,
-                               post_reject=post_reject)
+                               post_reject=post_reject,
+                               max_row_len=max_row_len)
 
     epoch_fn = make_epoch_body(step, batch_size)
     donate_argnums = (0,) if donate else ()

@@ -35,8 +35,20 @@ def init_distributed(coordinator_address=None, num_processes=None,
     TPU-native replacement for the NCCL/MPI process-group bootstrap the
     reference never had (SURVEY.md §2.6).
     """
-    if jax.process_count() > 1 or getattr(init_distributed, "_done", False):
+    if getattr(init_distributed, "_done", False):
         return
+    # check for an existing distributed runtime WITHOUT jax.process_count():
+    # that call initializes the XLA backends, after which
+    # jax.distributed.initialize() always raises — the guard would defeat
+    # the function on every pod host and the swallow below would turn it
+    # into N silently-diverged single-process runs
+    try:
+        if jax.distributed.is_initialized():
+            return
+    except AttributeError:  # older jax
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return
     kwargs = {}
     if coordinator_address is not None:
         kwargs.update(coordinator_address=coordinator_address,
@@ -55,6 +67,11 @@ def init_distributed(coordinator_address=None, num_processes=None,
         import os
         if any(os.environ.get(k) for k in
                ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")):
+            raise
+        # TPU pods discover peers from pod metadata rather than those env
+        # vars — a multi-worker hostname list means this host genuinely
+        # expected a distributed bootstrap
+        if "," in os.environ.get("TPU_WORKER_HOSTNAMES", ""):
             raise
 
 

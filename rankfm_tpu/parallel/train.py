@@ -213,7 +213,10 @@ def _cached_dp_epoch(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
         n_pad = u.shape[0]
         nb = n_pad // batch_size
         # largest group size <= sync_every that divides the batch count
-        k = max(d for d in range(1, min(sync_every, nb) + 1) if nb % d == 0)
+        # (clamped: sync_every < 1 would make the range empty and raise an
+        # opaque max() error at trace time)
+        k = max(d for d in range(1, max(1, min(sync_every, nb)) + 1)
+                if nb % d == 0)
         ng = nb // k
         kperm, ksamp = jax.random.split(jax.random.fold_in(key, epoch))
         perm = jax.random.permutation(kperm, n_pad)

@@ -129,13 +129,19 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
         return jitted
 
     static_set = frozenset(static_argnums)
-    state = {"fn": None}
+    state = {"fn": None, "statics": None}
 
     def _dynamic(args):
         return tuple(a for i, a in enumerate(args) if i not in static_set)
 
+    def _statics(args):
+        return tuple(args[i] for i in sorted(static_set))
+
     def call(*args):
-        if state["fn"] is not None:
+        # memoize per STATIC-argument values, not first-call-wins: a later
+        # call with a different static (e.g. a changed baked-in row count)
+        # must not replay the executable compiled for the old value
+        if state["fn"] is not None and state["statics"] == _statics(args):
             return state["fn"](*args)
         fn = jitted
         try:
@@ -152,11 +158,9 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
                     # an explicit device list the loader targets ALL
                     # addressable devices and execution then demands
                     # N-sharded inputs
-                    loaded = deserialize_and_load(
+                    compiled = deserialize_and_load(
                         payload, in_tree, out_tree,
                         execution_devices=[jax.devices()[0]])
-                    fn = (lambda *a: loaded(*_dynamic(a))) \
-                        if static_set else loaded
                 else:
                     compiled = jitted.lower(*args).compile()
                     payload, in_tree, out_tree = serialize(compiled)
@@ -170,7 +174,13 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
                     except Exception:
                         os.unlink(f.name)
                         raise
-                    fn = compiled
+                # a static-bearing Compiled takes ONLY the dynamic args
+                # (statics were baked in at lowering) — on BOTH the
+                # disk-load and the fresh-compile paths; calling the fresh
+                # one with all args used to TypeError and silently fall
+                # back to jit, paying the cold compile twice
+                fn = (lambda *a, _c=compiled: _c(*_dynamic(a))) \
+                    if static_set else compiled
                 _LOADED[key] = fn
         except Exception:
             if os.environ.get("RANKFM_TPU_AOT_DEBUG"):
@@ -188,6 +198,7 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
             fn = jitted
             out = fn(*args)
         state["fn"] = fn
+        state["statics"] = _statics(args)
         return out
 
     return call

@@ -36,6 +36,9 @@ def save_model(model, path):
         json.dumps({k: getattr(model, k) for k in _HYPERS})
     )
     payload["training_log_json"] = np.array(json.dumps(model.training_log_))
+    # PRNG stream position: a restored model's fit_partial must continue
+    # with FRESH shuffle/negative streams, not replay epochs 0..N again
+    payload["epoch_offset"] = np.int64(model._epoch_offset)
     np.savez(path, **payload)
 
 
@@ -78,5 +81,7 @@ def load_model(cls, path):
     model._x_if_dev = jnp.asarray(model.x_if)
 
     model._weights = {k: jnp.asarray(data[f"weights/{k}"]) for k in _WEIGHT_KEYS}
+    if "epoch_offset" in data:
+        model._epoch_offset = int(data["epoch_offset"])
     model.is_fit = True
     return model
