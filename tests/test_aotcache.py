@@ -47,6 +47,47 @@ def test_wrap_compiles_stores_and_matches(aot_env):
     assert len(payloads) == 1, "executable payload should be stored"
 
 
+def test_cold_compile_uses_aot_executable_not_jit_fallback(aot_env):
+    """the fresh-compile path must wrap statics out exactly like the
+    disk-load path: a static-bearing Compiled takes only dynamic args, and
+    calling it with all args used to TypeError -> silent jit fallback
+    (paying the cold compile twice)"""
+    jitted = _make_jitted()
+    w = {"w": jnp.ones((8,))}
+    x = jnp.arange(16, dtype=jnp.float32)
+    wrapped = aotcache.wrap(jitted, key_parts=(8, 16), tag="t",
+                            static_argnums=(2,))
+    out, _ = wrapped(w, x, 4, 0.5)
+    # the memoized resolved fn must be the AOT executable (or its static
+    # shim), never the jitted fallback — and it must answer correctly
+    (key, fn), = aotcache._LOADED.items()
+    assert fn is not jitted
+    out2, _ = fn(w, x, 4, 0.5)
+    np.testing.assert_allclose(out2["w"], out["w"])
+
+
+def test_changed_static_value_reresolves(aot_env):
+    """a later call with a different STATIC value must not replay the
+    executable compiled for the old value (first-call-wins memoization
+    would silently run the n=4 program for n=6)"""
+    jitted = _make_jitted()
+    w = {"w": jnp.ones((8,))}
+    x = jnp.arange(16, dtype=jnp.float32)
+    wrapped = aotcache.wrap(jitted, key_parts=(8, 16), tag="t",
+                            static_argnums=(2,))
+    out4, _ = wrapped(w, x, 4, 0.5)
+    out6, _ = wrapped(w, x, 6, 0.5)
+    ref4, _ = jitted(w, x, 4, 0.5)
+    ref6, _ = jitted(w, x, 6, 0.5)
+    np.testing.assert_allclose(out4["w"], ref4["w"])
+    np.testing.assert_allclose(out6["w"], ref6["w"])
+    assert len(list(aot_env.glob("t-*.pkl"))) == 2, \
+        "each static value is its own program/payload"
+    # and flipping BACK re-resolves again (via the in-process memo)
+    back4, _ = wrapped(w, x, 4, 0.5)
+    np.testing.assert_allclose(back4["w"], ref4["w"])
+
+
 def test_fresh_process_load_skips_compile(aot_env):
     jitted = _make_jitted()
     w = {"w": jnp.ones((8,))}
