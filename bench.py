@@ -34,9 +34,11 @@ def make_synthetic(rng):
     item_p /= item_p.sum()
     # user activity: lognormal, min 20 (ML-1M min is 20 ratings/user)
     act = np.minimum(np.maximum(
-        rng.lognormal(mean=4.0, sigma=0.9, size=N_USERS), 20), 1500).astype(np.int64)
-    act = (act * (N_INTER / act.sum())).astype(np.int64)
-    act = np.maximum(act, 5)
+        rng.lognormal(mean=4.0, sigma=0.9, size=N_USERS), 20), 1500)
+    # cumulative rounding hits N_INTER exactly (per-user truncation lost
+    # ~0.5 rows/user, leaving the log ~3k rows short of the advertised count)
+    target = np.round(np.cumsum(act * (N_INTER / act.sum()))).astype(np.int64)
+    act = np.maximum(np.diff(np.concatenate([[0], target])), 5)
     users = np.repeat(np.arange(N_USERS), act)[:N_INTER]
     items = rng.choice(N_ITEMS, size=len(users), p=item_p)
     # NOTE: pairs may repeat, exactly like a raw ratings log — the reference
@@ -65,8 +67,10 @@ def main():
     model.fit(inter, epochs=1)
     warm = time.time() - t0
     aot_after = set(_glob.glob(os.path.join(aotcache.cache_dir(), "*.pkl")))
-    aot_state = ("miss-stored" if aot_after - aot_before
-                 else ("hit" if aot_before else "off"))
+    # directory deltas can't prove a HIT (a pre-existing payload may belong
+    # to another config) — report what is knowable: stored / present / none
+    aot_state = ("stored" if aot_after - aot_before
+                 else (f"present:{len(aot_before)}" if aot_before else "none"))
 
     # steady state: time EPOCHS epochs through the public API; best of three
     # runs (the shared-TPU link shows >10% run-to-run noise)

@@ -32,10 +32,16 @@ def _recs_and_hits(model, test_interactions, k, filter_previous):
         users=test_users, n_items=k, filter_previous=filter_previous, cold_start="drop"
     )
     comm_users = test_recs.index.values
+    rec_np = test_recs.to_numpy()          # rows align with comm_users
+    # recommend clamps its column count to the catalog size, so reshape to
+    # what actually came back (k > I would otherwise crash every metric);
+    # NaN cells (exhausted filter_previous slots) count as misses
+    k_eff = rec_np.shape[1]
     hits = np.array(
-        [[item in test_user_items[u] for item in test_recs.loc[u]] for u in comm_users],
+        [[item in test_user_items[u] for item in row]
+         for u, row in zip(comm_users, rec_np)],
         dtype=bool,
-    ).reshape(len(comm_users), k)
+    ).reshape(len(comm_users), k_eff)
     return test_recs, comm_users, hits, test_user_items
 
 

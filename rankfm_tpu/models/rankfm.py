@@ -1006,6 +1006,9 @@ class RankFM:
                     )
                 chunks.append(np.asarray(top_items)[:bsz])
             out[known] = np.concatenate(chunks, axis=0)
+            # -1 = exhausted-catalog slot (filter_previous left fewer than
+            # n_items unseen items) -> NaN, never a wrapped-around item id
+            out[out < 0] = np.nan
 
         rec_items = pd.DataFrame(
             remap_indices(self.index_to_item.values, out),

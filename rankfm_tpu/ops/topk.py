@@ -33,6 +33,10 @@ def topk_for_users(w, x_uf, x_if, u_idx, n_items, seen_rows, seen_cols):
         cols = jnp.where(ok, seen_cols, 0)
         scores = scores.at[rows, cols].add(jnp.where(ok, NEG_INF, 0.0))
     top_scores, top_items = jax.lax.top_k(scores, n_items)
+    # a user with fewer than n_items unseen items would otherwise get
+    # -inf-masked SEEN items back as apparently valid recommendations;
+    # emit -1 (mapped to NaN at the API edge) for those slots
+    top_items = jnp.where(jnp.isneginf(top_scores), -1, top_items)
     return top_items.astype(jnp.int32), top_scores
 
 
@@ -58,6 +62,8 @@ def topk_bitmap_fn(n_items, num_items):
         seen = (rep >> (col & jnp.uint32(31))) & jnp.uint32(1)
         scores = jnp.where(seen.astype(bool), NEG_INF, scores)
         top_scores, top_items = jax.lax.top_k(scores, n_items)
+        # same exhausted-catalog convention as `topk_for_users`
+        top_items = jnp.where(jnp.isneginf(top_scores), -1, top_items)
         return top_items.astype(jnp.int32), top_scores
 
     return jax.jit(fn)

@@ -53,6 +53,9 @@ def _local_topk_kernel(u_mat, i_mat, item_bias, seen_rows, seen_cols, n_items,
 
     top_vals, pos = jax.lax.top_k(merged_vals, n_items)        # [B, n]
     top_idx = jnp.take_along_axis(merged_idx, pos, axis=1)
+    # exhausted-catalog convention (see ops/topk.py): -inf-masked seen/pad
+    # slots come back as -1, mapped to NaN at the API edge
+    top_idx = jnp.where(jnp.isneginf(top_vals), -1, top_idx)
     return top_idx.astype(jnp.int32), top_vals
 
 

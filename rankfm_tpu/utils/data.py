@@ -35,8 +35,14 @@ def get_data(obj):
 def _int64_view(values):
     """return an int64 ndarray view of an id column if losslessly possible"""
     arr = np.asarray(values)
-    if arr.dtype.kind in "iu" and arr.dtype.itemsize <= 8:
+    if arr.dtype.kind == "i" and arr.dtype.itemsize <= 8:
         return arr.astype(np.int64, copy=False)
+    if arr.dtype.kind == "u":
+        # uint64 values >= 2^63 would WRAP to negative int64, corrupting the
+        # sorted-vocabulary order — only convert when the range fits
+        if arr.dtype.itemsize < 8 or (arr.size and
+                                      arr.max() <= np.iinfo(np.int64).max):
+            return arr.astype(np.int64, copy=False)
     return None
 
 
@@ -106,13 +112,22 @@ def map_ids_float(values, to_index):
 
 def remap_indices(index_values, idx_float):
     """Vectorized inverse mapping: float indices (NaN = unknown) -> original
-    ids. Int/float id vocabularies come back float64 with NaN (what pandas
-    ``.map`` produces when NaN is present); anything else comes back object."""
+    ids. With no NaN, integer vocabularies keep their exact dtype; with NaN,
+    int/float ids come back float64 (what pandas ``.map`` produces) unless
+    the ids exceed float64's 2^53 integer precision — those (and non-numeric
+    ids) come back object so snowflake-scale int64 ids are never corrupted
+    by a float round-trip."""
     flat = np.asarray(idx_float, dtype=np.float64)
     known = ~np.isnan(flat)
     safe = np.where(known, flat, 0.0).astype(np.int64)
     vals = np.asarray(index_values)
-    if vals.dtype.kind in "iuf":
+    if vals.dtype.kind in "iu" and known.all():
+        return vals[safe].reshape(np.shape(idx_float))
+    float_exact = (vals.dtype.kind == "f"
+                   or (vals.dtype.kind in "iu" and vals.size
+                       and np.abs(vals.astype(np.float64)).max() < 2.0**53)
+                   or (vals.dtype.kind in "iu" and not vals.size))
+    if float_exact:
         out = vals.astype(np.float64)[safe]
         out[~known] = np.nan
     else:

@@ -421,6 +421,50 @@ def test_evaluation_metrics_match_hand_computed_oracle():
                    "recall": pytest.approx(np.mean(recalls))}
 
 
+def test_filter_previous_exhausted_catalog_gives_nan_not_seen_items():
+    """a user with fewer than n_items unseen items must get NaN for the
+    missing slots — never -inf-masked SEEN items back (the reference
+    returns uninitialized memory here; we define the edge properly)"""
+    # user 0 has seen 8 of 10 items -> only 2 unseen
+    inter = np.array([[0, i] for i in range(8)] + [[1, 8], [1, 9]])
+    m = RankFM(factors=2, seed=3)
+    m.fit(inter, epochs=1)
+    recs = m.recommend([0], n_items=5, filter_previous=True)
+    row = recs.loc[0].values.astype(float)
+    valid = row[~np.isnan(row)]
+    assert len(valid) == 2 and set(valid) == {8.0, 9.0}
+    assert np.isnan(row[2:]).all()
+
+
+def test_metrics_survive_k_larger_than_catalog():
+    """k > catalog size must degrade gracefully (recommend clamps its
+    column count; the metric aggregation must follow, not crash)"""
+    from rankfm_tpu import evaluation
+    inter = np.array([[u, i] for u in range(6) for i in range(4)])
+    m = RankFM(factors=2, seed=3)
+    m.fit(inter, epochs=1)
+    test = np.array([[0, 1], [1, 2], [2, 3]])
+    out = evaluation.compute(m, test, k=10)
+    assert 0.0 <= out["hit_rate"] <= 1.0
+    assert all(np.isfinite(v) for v in out.values())
+
+
+def test_recommend_preserves_big_int64_ids():
+    """snowflake-scale int64 ids above 2^53 must come back exact, not
+    float64-rounded to a nonexistent id"""
+    base = 2**60
+    inter = pd.DataFrame({
+        "user_id": [1, 1, 2, 2, 3, 3],
+        "item_id": [base + 1, base + 3, base + 1, base + 5,
+                    base + 3, base + 5],
+    })
+    m = RankFM(factors=2, seed=3)
+    m.fit(inter, epochs=1)
+    recs = m.recommend([1, 2, 3], n_items=2)
+    rec_ids = set(int(x) for x in recs.values.flatten())
+    assert rec_ids <= {base + 1, base + 3, base + 5}, rec_ids
+
+
 def test_diversity_contract():
     """diversity returns cnt/pct of users recommended each catalog item
     (`/root/reference/rankfm/evaluation.py:146-175`): one row per training
