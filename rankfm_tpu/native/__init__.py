@@ -24,19 +24,30 @@ _lib = None
 _tried = False
 
 
-def _lib_path():
-    """Binary path keyed on a content hash of the source: a fresh checkout
-    (where mtimes are meaningless) always rebuilds for ITS source and ITS
-    machine — binaries are never shipped (they are built -march=native)."""
-    with open(_SRC, "rb") as f:
+def _compile_and_load(src, stem):
+    """Compile ``src`` (if needed) and CDLL it.
+
+    The binary path is keyed on a content hash of the source: a fresh
+    checkout (where mtimes are meaningless) always rebuilds for ITS source
+    and ITS machine — binaries are never shipped (they are built
+    -march=native). g++ writes to a temp file that is atomically renamed
+    into place, so concurrent builders (pytest-xdist workers, a test plus a
+    probe script) never CDLL a partially-written ELF."""
+    with open(src, "rb") as f:
         h = hashlib.sha256(f.read()).hexdigest()[:16]
-    return os.path.join(_HERE, f"_ingest-{h}.so")
-
-
-def _build(lib_path):
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", lib_path, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
+    path = os.path.join(_HERE, f"{stem}-{h}.so")
+    if not os.path.exists(path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", "-o", tmp, src],
+                check=True, capture_output=True)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+    return ctypes.CDLL(path)
 
 
 def get_lib():
@@ -49,10 +60,7 @@ def get_lib():
             return _lib
         _tried = True
         try:
-            path = _lib_path()
-            if not os.path.exists(path):
-                _build(path)
-            lib = ctypes.CDLL(path)
+            lib = _compile_and_load(_SRC, "_ingest")
             lib.rfm_unique_sorted.restype = ctypes.c_int64
             lib.rfm_unique_sorted.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
@@ -174,15 +182,7 @@ def get_oracle():
         _oracle_tried = True
         src = os.path.join(_HERE, "oracle.cpp")
         try:
-            with open(src, "rb") as f:
-                h = hashlib.sha256(f.read()).hexdigest()[:16]
-            path = os.path.join(_HERE, f"_oracle-{h}.so")
-            if not os.path.exists(path):
-                subprocess.run(
-                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                     "-std=c++17", "-o", path, src],
-                    check=True, capture_output=True)
-            lib = ctypes.CDLL(path)
+            lib = _compile_and_load(src, "_oracle")
             lib.rfm_oracle_fit.restype = ctypes.c_int32
             lib.rfm_oracle_fit.argtypes = (
                 [ctypes.c_void_p] * 2 + [ctypes.c_int64]

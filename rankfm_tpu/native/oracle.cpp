@@ -105,7 +105,6 @@ int32_t rfm_oracle_fit(
     std::mt19937_64 shuf(seed ^ 0x9e3779b97f4a7c15ULL);
     std::vector<int64_t> order(n);
     for (int64_t r = 0; r < n; ++r) order[r] = r;
-    std::vector<float> scratch(F);
 
     for (int32_t epoch = 0; epoch < epochs; ++epoch) {
         float eta = invscaling
@@ -206,19 +205,23 @@ int32_t rfm_oracle_fit(
             }
         }
 
-        if (!std::isfinite(ll)) return -1;
+        // per-epoch finite check over the WEIGHT tables, exactly like the
+        // reference (`_rankfm.pyx:328-329` / assert_finite at :95-103).
+        // The log-likelihood itself may legitimately hit -inf (one sample
+        // with pairwise < ~-745 overflows exp) while every weight stays
+        // finite — the reference keeps training in that case (ll is
+        // print-only there).
+        double s = 0.0;
+        for (int64_t k = 0; k < (int64_t)I; ++k) s += w_i[k];
+        for (int64_t k = 0; k < (int64_t)Q; ++k) s += w_if[k];
+        for (int64_t k = 0; k < (int64_t)U * F; ++k) s += v_u[k];
+        for (int64_t k = 0; k < (int64_t)I * F; ++k) s += v_i[k];
+        for (int64_t k = 0; k < (int64_t)P * F; ++k) s += v_uf[k];
+        for (int64_t k = 0; k < (int64_t)Q * F; ++k) s += v_if[k];
+        if (!std::isfinite(s)) return -1;
         ll_out[epoch] = (float)ll;
     }
-
-    // finite check over all tables (_rankfm.pyx:95-103)
-    double s = 0.0;
-    for (int64_t k = 0; k < (int64_t)I; ++k) s += w_i[k];
-    for (int64_t k = 0; k < (int64_t)Q; ++k) s += w_if[k];
-    for (int64_t k = 0; k < (int64_t)U * F; ++k) s += v_u[k];
-    for (int64_t k = 0; k < (int64_t)I * F; ++k) s += v_i[k];
-    for (int64_t k = 0; k < (int64_t)P * F; ++k) s += v_uf[k];
-    for (int64_t k = 0; k < (int64_t)Q * F; ++k) s += v_if[k];
-    return std::isfinite(s) ? 0 : -1;
+    return 0;
 }
 
 }  // extern "C"

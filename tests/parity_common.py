@@ -51,18 +51,22 @@ def make_features(rng, train, n_uf=4, n_if=8):
     uf[np.arange(len(users)), rng.integers(0, n_uf, len(users))] = 1.0
     itf = np.zeros((len(items), n_if), dtype=np.float32)
     itf[np.arange(len(items)), rng.integers(0, n_if, len(items))] = 1.0
-    uf_df = pd.DataFrame(
-        np.column_stack([users, uf]),
-        columns=["user_id"] + [f"uf{k}" for k in range(n_uf)])
-    if_df = pd.DataFrame(
-        np.column_stack([items, itf]),
-        columns=["item_id"] + [f"if{k}" for k in range(n_if)])
+    # keep the id column INTEGER (np.column_stack would upcast ids through
+    # float64, colliding ids above 2^53)
+    uf_df = pd.DataFrame(uf, columns=[f"uf{k}" for k in range(n_uf)])
+    uf_df.insert(0, "user_id", users)
+    if_df = pd.DataFrame(itf, columns=[f"if{k}" for k in range(n_if)])
+    if_df.insert(0, "item_id", items)
     return uf_df, if_df
 
 
 def _metrics_from_scores(scores, item_raw_ids, user_raw_ids, test, k=10):
-    """same five metric definitions as evaluation.compute, from a raw score
-    matrix over the training catalog"""
+    """THE SAME five metric aggregations as evaluation.compute (imported,
+    not re-implemented — definition drift here would turn the parity gate
+    into a comparison of two different metrics), from a raw score matrix
+    over the training catalog"""
+    from rankfm_tpu.evaluation import _AGGREGATORS
+
     test_sets = {}
     for u, i in test:
         test_sets.setdefault(int(u), set()).add(int(i))
@@ -70,20 +74,11 @@ def _metrics_from_scores(scores, item_raw_ids, user_raw_ids, test, k=10):
     rows = [(u, uidx[u]) for u in test_sets if u in uidx]
     top = np.argsort(-scores[[r[1] for r in rows]], axis=1)[:, :k]
     top_raw = item_raw_ids[top]
+    comm = np.array([u for u, _ in rows])
     hits = np.array([[it in test_sets[u] for it in top_raw[n]]
                      for n, (u, _) in enumerate(rows)], dtype=bool)
-    denom = np.array([len(test_sets[u]) for u, _ in rows], dtype=np.float64)
-    any_hit = hits.any(axis=1)
-    first = np.argmax(hits, axis=1)
-    return {
-        "hit_rate": float(np.mean(any_hit)),
-        "reciprocal_rank": float(np.mean(
-            np.where(any_hit, 1.0 / (first + 1), 0.0))),
-        "discounted_cumulative_gain": float(np.mean(
-            (hits / np.log2(np.arange(k) + 2)[None, :]).sum(axis=1))),
-        "precision": float(np.mean(hits.sum(axis=1) / k)),
-        "recall": float(np.mean(hits.sum(axis=1) / denom)),
-    }
+    return {name: agg(comm, hits, test_sets)
+            for name, agg in _AGGREGATORS.items()}
 
 
 def oracle_metrics(model, train, test, epochs, k=10, seed=1492,

@@ -36,6 +36,16 @@ FUSED = {"hit_rate": 0.06, "reciprocal_rank": 0.04,
          "recall": 0.02}
 
 
+def _require_oracle():
+    """Body-level skip: evaluating native.get_oracle() in a skipif decorator
+    would spawn the g++ compile (and jax.devices() the backend init) at
+    COLLECTION time, even for deselected runs."""
+    if native.get_oracle() is None:
+        pytest.skip("no C++ toolchain")
+
+
+
+
 def _make_data(rng, n_users=120, n_items=60, n_groups=3, per_user=12):
     rows = []
     for u in range(n_users):
@@ -106,6 +116,7 @@ def _oracle_hit_rate(w_i, v_u, v_i, train, test, k=10):
 
 @pytest.mark.slow
 def test_batched_trainer_matches_sequential_oracle_quality():
+    _require_oracle()
     rng = np.random.default_rng(42)
     train, test = _make_data(rng)
     n_users, n_items = 120, 60
@@ -129,9 +140,9 @@ def test_batched_trainer_matches_sequential_oracle_quality():
     assert hr_batched > hr_oracle - 0.1, (hr_batched, hr_oracle)
 
 
-@pytest.mark.skipif(native.get_oracle() is None, reason="no C++ toolchain")
 def test_cpp_oracle_matches_numpy_oracle():
     """the two independent oracle implementations agree at the metric level"""
+    _require_oracle()
     rng = np.random.default_rng(42)
     train, test = _make_data(rng)
     n_users, n_items = 120, 60
@@ -156,7 +167,6 @@ import jax  # noqa: E402
 @pytest.mark.skipif(jax.devices()[0].platform != "tpu",
                     reason="scaled parity runs on TPU (make test-tpu); the "
                            "XLA-CPU fit takes ~8 min per config")
-@pytest.mark.skipif(native.get_oracle() is None, reason="no C++ toolchain")
 @pytest.mark.parametrize("loss,max_samples,features,weights,step,gates", [
     # reference-exact candidate sampling: tight +-0.02 on every metric
     ("warp", 10, False, True, "candidate", TIGHT),   # ML-1M headline shape
@@ -172,6 +182,7 @@ def test_scaled_parity_vs_cpp_oracle(loss, max_samples, features, weights,
                                      step, gates):
     """ML-1M-like scale: metric parity vs the sequential reference-semantics
     oracle at identical config/epochs"""
+    _require_oracle()
     rng = np.random.default_rng(11)
     train, test = make_latent_dataset(rng)
     uf, itf = make_features(rng, train) if features else (None, None)
@@ -199,12 +210,12 @@ def test_scaled_parity_vs_cpp_oracle(loss, max_samples, features, weights,
 @pytest.mark.slow
 @pytest.mark.skipif(jax.devices()[0].platform != "tpu",
                     reason="scaled parity runs on TPU (make test-tpu)")
-@pytest.mark.skipif(native.get_oracle() is None, reason="no C++ toolchain")
 def test_scaled_parity_mixed_large_catalog():
     """>8-window-block regime (the one where pure windowed negatives lose
     rank sharpness): the MIXED schedule — fused epochs + candidate-step
     tail, the 'auto' default there — must stay within +-0.03 of the
     sequential reference-semantics oracle on every metric."""
+    _require_oracle()
     rng = np.random.default_rng(13)
     train, test = make_latent_dataset(rng, n_users=2000, n_items=10_000,
                                       per_user=60, sharp=3.0)
@@ -223,7 +234,6 @@ def test_scaled_parity_mixed_large_catalog():
 @pytest.mark.slow
 @pytest.mark.skipif(jax.devices()[0].platform != "tpu",
                     reason="scaled parity runs on TPU (make test-tpu)")
-@pytest.mark.skipif(native.get_oracle() is None, reason="no C++ toolchain")
 def test_full_ml1m_scale_parity_headline_config():
     """FULL ML-1M scale (6,040 users x 3,706 items x ~750k rows) at the
     reference's exact headline configuration (README.md:110 /
@@ -232,6 +242,7 @@ def test_full_ml1m_scale_parity_headline_config():
     must match the sequential reference-semantics oracle within the
     documented windowed-negative band, with precision/recall — the
     BASELINE-named metrics — at +-0.02."""
+    _require_oracle()
     rng = np.random.default_rng(1492)
     # ~748k train rows; sharp=1.2 puts the oracle's metric levels right at
     # the real-ML-1M reference band (oracle: HR 0.84 / MRR 0.376 /
