@@ -68,3 +68,21 @@ def test_data_pipeline_native_vs_pandas_end_to_end(lib):
     # string sort order over equal-length numeric strings == numeric order here
     np.testing.assert_array_equal(pairs_native, pairs_pd)
     np.testing.assert_array_equal(keep_native, keep_pd)
+
+
+def test_uint64_ids_above_int63_do_not_wrap():
+    """uint64 vocabularies with values >= 2^63 must NOT take the int64
+    native path (they would wrap negative and corrupt the sorted order) —
+    build_index must fall back and sort them correctly"""
+    big = np.uint64(2**63 + 7)
+    ids = np.array([big, np.uint64(5), big, np.uint64(9)], dtype=np.uint64)
+    assert data._int64_view(ids) is None
+    vocab, to_index = data.build_index(ids)
+    assert list(vocab.values) == [np.uint64(5), np.uint64(9), big]
+    assert int(to_index.loc[big]) == 2
+
+
+def test_uint64_ids_small_range_take_native_path():
+    ids = np.array([3, 1, 2], dtype=np.uint64)
+    iv = data._int64_view(ids)
+    assert iv is not None and iv.dtype == np.int64
