@@ -540,13 +540,31 @@ class RankFM:
         fused_mode = fused_mod.fused_table_mode(
             U, num_items, F, x_uf_any, x_if_any,
             num_uf=self.x_uf.shape[1], num_if=self.x_if.shape[1])
+        # on a mesh, the fused kernel runs DATA-PARALLEL (replicated tables,
+        # per-device Mosaic step, one delta-psum per sync group) — only
+        # sound in the DP regime, where the weight pytree fits per chip
+        n_dev = 1
+        if self.mesh is not None:
+            for v in self.mesh.shape.values():
+                n_dev *= v
+        fused_mesh_ok = False
+        if self.mesh is not None and fused_mode is not None:
+            from rankfm_tpu.parallel.train import uses_dp
+            tbytes = sum(int(np.prod(v.shape)) * 4
+                         for v in self._weights.values())
+            fused_mesh_ok = uses_dp(self.mesh, 128 * n_dev, tbytes)
         fused_possible = (
             self.use_fused in (True, 'auto')
-            and self.mesh is None
+            and (self.mesh is None or fused_mesh_ok)
             and _on_tpu()
             and fused_mode is not None
         )
         bs = self._auto_batch_size(n, fused=fused_possible)
+        if fused_possible and self.mesh is not None and self.batch_size is None:
+            # the GLOBAL batch must deal whole 128-row chunk multiples to
+            # every device
+            q = 128 * n_dev
+            bs = ((bs + q - 1) // q) * q
 
         base_key = jax.random.PRNGKey(self.seed)
         # continue the PRNG stream across fit_partial calls: the reference's
@@ -559,7 +577,8 @@ class RankFM:
 
         # dispatch: fused Pallas kernel (tables in VMEM, one-hot MXU
         # gather/scatter) when eligible, else the XLA step
-        fused_ok = fused_possible and bs >= 128 and bs % 128 == 0
+        fused_ok = (fused_possible and bs >= 128 * n_dev
+                    and bs % (128 * n_dev) == 0)
 
         import time as _time
 
@@ -715,7 +734,9 @@ class RankFM:
             if self._win_cols is None:
                 self._win_cols = fused_mod.pack_win_cols(
                     self._packed_hist, U, num_items)
-            chunk = fused_mod.pick_chunk(bs, U, num_items, n)
+            # the chunk divides the PER-DEVICE batch (each device scans its
+            # own chunks on the mesh path)
+            chunk = fused_mod.pick_chunk(bs // n_dev, U, num_items, n)
             w = self._weights
             table_bf16 = fused_mod.TABLE_BF16 or fused_mode == 'bf16'
             tab_u, tab_i = fused_mod.extend_tables(
@@ -741,6 +762,15 @@ class RankFM:
                 layout_dev = tuple(map(jnp.asarray, layout))
                 self._rec_cache = (rec_key, layout_dev)
             rec_dev, group_dev, cids_dev, ublk_dev, iblk_dev = layout_dev
+            if self.mesh is not None:
+                # deal each batch's chunks to the devices (device-major
+                # leading axis, sharded by the epoch fn's in_shardings);
+                # everything else replicates
+                cids_dev, ublk_dev, iblk_dev = map(
+                    jnp.asarray,
+                    fused_mod.split_layout_for_mesh(
+                        np.asarray(cids_dev), np.asarray(ublk_dev),
+                        np.asarray(iblk_dev), n_dev))
             # optional window-count override (quality/throughput lever;
             # None = default_n_windows inside the program builder)
             nblk_f = I_pad // fused_mod.block_size(num_items)
@@ -752,20 +782,28 @@ class RankFM:
                                   x_uf_any, x_if_any)))
                 if nw_main == fused_mod.default_n_windows(nblk_f):
                     nw_main = None
-            epoch_fn = fused_mod.make_fused_epoch_fn(
-                U, num_items, F, max_samples, bs, chunk=chunk,
-                table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any,
-                n_windows=nw_main)
-            # AOT warm-start: the fused program's ~70 s compile dominates
-            # cold warmup, and the backend's persistent-cache key drifts
-            # across processes for Mosaic programs — cache the serialized
-            # executable under our own content key instead
             from rankfm_tpu.utils import aotcache
-            epoch_fn = aotcache.wrap(
-                epoch_fn,
-                key_parts=(U, num_items, F, max_samples, bs, chunk,
-                           table_bf16, x_uf_any, x_if_any, nw_main),
-                tag="fused_epoch")
+            if self.mesh is not None:
+                from rankfm_tpu.parallel.fused import make_fused_dp_epoch_fn
+                epoch_fn = make_fused_dp_epoch_fn(
+                    self.mesh, U, num_items, F, max_samples, bs, chunk,
+                    table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any,
+                    n_windows=nw_main, sync_every=self.dp_sync_every)
+            else:
+                epoch_fn = fused_mod.make_fused_epoch_fn(
+                    U, num_items, F, max_samples, bs, chunk=chunk,
+                    table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any,
+                    n_windows=nw_main)
+                # AOT warm-start: the fused program's ~70 s compile dominates
+                # cold warmup, and the backend's persistent-cache key drifts
+                # across processes for Mosaic programs — cache the serialized
+                # executable under our own content key instead (single-device
+                # programs only; mesh executables don't serialize portably)
+                epoch_fn = aotcache.wrap(
+                    epoch_fn,
+                    key_parts=(U, num_items, F, max_samples, bs, chunk,
+                               table_bf16, x_uf_any, x_if_any, nw_main),
+                    tag="fused_epoch")
             # side features: lane-padded HBM feature blocks + the packed
             # small factor tables (v_uf / w_if+v_if) the kernel keeps in VMEM
             has_feat = x_uf_any or x_if_any
@@ -821,15 +859,25 @@ class RankFM:
                                   U, num_items, table_bf16,
                                   x_uf_any, x_if_any))
                 if nw_tail > fused_mod.default_n_windows(nblk_f):
-                    wide_tail_fn = fused_mod.make_fused_epoch_fn(
-                        U, num_items, F, max_samples, bs, chunk=chunk,
-                        table_bf16=table_bf16, has_uf=x_uf_any,
-                        has_if=x_if_any, n_windows=nw_tail)
-                    wide_tail_fn = aotcache.wrap(
-                        wide_tail_fn,
-                        key_parts=(U, num_items, F, max_samples, bs, chunk,
-                                   table_bf16, x_uf_any, x_if_any, nw_tail),
-                        tag="fused_epoch")
+                    if self.mesh is not None:
+                        from rankfm_tpu.parallel.fused import (
+                            make_fused_dp_epoch_fn)
+                        wide_tail_fn = make_fused_dp_epoch_fn(
+                            self.mesh, U, num_items, F, max_samples, bs,
+                            chunk, table_bf16=table_bf16, has_uf=x_uf_any,
+                            has_if=x_if_any, n_windows=nw_tail,
+                            sync_every=self.dp_sync_every)
+                    else:
+                        wide_tail_fn = fused_mod.make_fused_epoch_fn(
+                            U, num_items, F, max_samples, bs, chunk=chunk,
+                            table_bf16=table_bf16, has_uf=x_uf_any,
+                            has_if=x_if_any, n_windows=nw_tail)
+                        wide_tail_fn = aotcache.wrap(
+                            wide_tail_fn,
+                            key_parts=(U, num_items, F, max_samples, bs,
+                                       chunk, table_bf16, x_uf_any, x_if_any,
+                                       nw_tail),
+                            tag="fused_epoch")
 
             def _run_fused_epochs(fn, epoch_range):
                 nonlocal tab_u, tab_i, tab_uf, tab_if

@@ -1146,6 +1146,128 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
     return one_epoch
 
 
+def _dp_epoch_body(batch_fn, num_users, num_items, batch_size_dev, chunk,
+                   axes, axis_sizes, n_windows=None, sync_every=1):
+    """Per-DEVICE epoch body for the data-parallel fused path (run under
+    ``shard_map`` over mesh ``axes``).
+
+    Same segmented-shuffle + rotation + scan as `_epoch_body`, except each
+    device visits only ITS pre-split share of every batch's chunks
+    (``cids``/``ublk``/``iblk`` arrive as the local ``[nb, nTd]`` slabs of a
+    device-major split — see `split_layout_for_mesh`) and the REPLICATED
+    tables are re-merged by ONE delta-psum per sync group of
+    ``sync_every`` batches (the same local-SGD lever as the XLA DP path's
+    ``dp_sync_every``).
+
+    PRNG discipline: the shuffle key and the batch-order rotation are
+    SHARED across devices (every device re-sorts the same replicated
+    record array — redundant compute, zero communication, and the chunk →
+    record mapping stays consistent), while the negative-sampling and
+    window-draw streams fold in the device index so devices draw
+    independent negatives.
+    """
+    BLK = block_size(num_items)
+    I_pad = item_pad(num_items)
+    NBLK = I_pad // BLK
+    NW = default_n_windows(NBLK) if n_windows is None else n_windows
+    nTd = batch_size_dev // chunk
+    real_cum = window_block_cdf(num_items)
+
+    def one_epoch(tab_u, tab_i, win_cols, rec, group, cids, ublk, iblk, eta,
+                  alpha, key, epoch, x_uf=None, x_if=None, tab_uf=None,
+                  tab_if=None, beta=0.0):
+        nb = cids.shape[0]
+        n_pad = rec.shape[0]
+        dev = jax.lax.axis_index(axes[0])
+        for ax, sz in zip(axes[1:], axis_sizes[1:]):
+            dev = dev * sz + jax.lax.axis_index(ax)
+        key = jax.random.fold_in(key, epoch)
+        kperm, ksamp, kblk, krot = jax.random.split(key, 4)
+        ksamp = jax.random.fold_in(ksamp, dev)
+        kblk = jax.random.fold_in(kblk, dev)
+        rnd = jax.random.bits(kperm, (n_pad,), jnp.uint32)
+        _, _, c0, c1, c2, c3 = jax.lax.sort(
+            (group, rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]),
+            num_keys=2)
+        rec_s = jnp.stack([c0, c1, c2, c3], axis=1)
+        r = jax.random.randint(krot, (), 0, nb)
+        cids_b = jnp.roll(cids, r, axis=0)
+        ublk_b = jnp.roll(ublk, r, axis=0)
+        iblk_b = jnp.roll(iblk, r, axis=0)
+        seeds = jax.random.randint(ksamp, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
+        blks = draw_window_blocks(kblk, (nb, nTd, NW), num_items, real_cum)
+        eta_arr = jnp.reshape(jnp.asarray(eta, jnp.float32), (1,))
+        dreg_arr = jnp.concatenate([
+            eta_arr * (2.0 * jnp.asarray(alpha, jnp.float32)),
+            eta_arr * (2.0 * jnp.asarray(beta, jnp.float32)),
+        ])
+
+        # largest group size <= sync_every that divides the batch count
+        k = max(d for d in range(1, max(1, min(sync_every, nb)) + 1)
+                if nb % d == 0)
+        ng = nb // k
+
+        def regroup(a):
+            return a.reshape((ng, k) + a.shape[1:])
+
+        xs = tuple(map(regroup, (cids_b, seeds, blks, ublk_b, iblk_b)))
+
+        def local(carry, x):
+            tu, ti, tuf, tif = carry
+            cid_, seed_, blk_, ublk_, iblk_ = x
+            tu, ti, tuf, tif, ll = batch_fn(
+                tu, ti, rec_s, win_cols, cid_, blk_, ublk_, iblk_,
+                jnp.reshape(seed_, (1,)), eta_arr, dreg_arr,
+                x_uf=x_uf, x_if=x_if, tab_uf=tuf, tab_if=tif)
+            return (tu, ti, tuf, tif), ll
+
+        def sync_group(carry, x):
+            out, lls = jax.lax.scan(local, carry, x)
+            # ONE table-sized collective per group: the sum of the
+            # per-device deltas (f32 regardless of table dtype — a bf16
+            # round of the summed delta would compound per sync). This
+            # linearizes concurrent per-touch decay across devices — the
+            # same approximation the chunked single-chip paths make.
+            delta = jax.tree.map(
+                lambda a, b: jax.lax.psum(
+                    a.astype(jnp.float32) - b.astype(jnp.float32), axes),
+                out, carry)
+            merged = jax.tree.map(
+                lambda b, d: (b.astype(jnp.float32) + d).astype(b.dtype),
+                carry, delta)
+            return merged, jnp.sum(lls)
+
+        (tab_u, tab_i, tab_uf, tab_if), lls = jax.lax.scan(
+            sync_group, (tab_u, tab_i, tab_uf, tab_if), xs)
+        ll = jax.lax.psum(jnp.sum(lls), axes)
+        return tab_u, tab_i, tab_uf, tab_if, ll
+
+    return one_epoch
+
+
+def split_layout_for_mesh(cids, ublk, iblk, n_dev):
+    """Split a `make_records_grouped` visit order across ``n_dev`` devices.
+
+    Each global batch's ``nT`` chunks are dealt contiguously to the
+    devices (``nTd = nT // n_dev`` apiece — the fit-time interleave orders
+    chunks by (rank within group, group), so every contiguous share still
+    cycles through user/item blocks). Returns device-major ``[n_dev * nb,
+    nTd]`` arrays whose leading axis shards over the mesh: device d's rows
+    are ``[d*nb, (d+1)*nb)``, i.e. its share of every batch, in batch
+    order.
+    """
+    nb, nT = cids.shape
+    assert nT % n_dev == 0, (nT, n_dev)
+    nTd = nT // n_dev
+
+    def split(a):
+        return np.ascontiguousarray(
+            np.asarray(a).reshape(nb, n_dev, nTd).transpose(1, 0, 2)
+            .reshape(n_dev * nb, nTd))
+
+    return split(cids), split(ublk), split(iblk)
+
+
 @lru_cache(maxsize=16)
 def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
                         chunk=128, donate=True, table_bf16=False,

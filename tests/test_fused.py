@@ -418,3 +418,91 @@ def test_fused_wide_windows_trains():
     assert np.isfinite(np.asarray(v_i2)).all()
     # training moved the touched tables
     assert not np.allclose(np.asarray(v_u2), v_u)
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
+                    reason="Mosaic kernel needs TPU hardware")
+def test_fused_dp_mesh_real_kernel_single_device():
+    """The REAL fused kernel under shard_map on a 1-device (data, model)
+    mesh: the full DP plumbing (device-major chunk split, delta-psum,
+    shared shuffle key) must compile on the chip and train to a sane
+    log-likelihood. Multi-device behavior of the same code path is pinned
+    by the CPU-mesh emulator tests in test_sharding.py."""
+    from jax.sharding import Mesh
+
+    from rankfm_tpu.parallel.fused import make_fused_dp_epoch_fn
+
+    rng = np.random.default_rng(9)
+    U, I, F, bs = 256, 900, 16, 512
+    n = 4_000
+    u_rows = rng.integers(0, U, n).astype(np.int32)
+    i_rows = rng.integers(0, I, n).astype(np.int32)
+    uniq = np.unique(np.stack([u_rows, i_rows], 1), axis=0)
+    counts = np.bincount(uniq[:, 0], minlength=U)
+    offsets = np.zeros(U + 1, np.int32)
+    offsets[1:] = np.cumsum(counts).astype(np.int32)
+    flat = uniq[:, 1].astype(np.int32)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                axis_names=("data", "model"))
+
+    U_pad, I_pad = fused.user_pad(U), fused.item_pad(I)
+    tu, ti = fused.extend_tables(
+        jnp.zeros(I, jnp.float32),
+        jnp.asarray(rng.normal(0, 0.1, (U, F)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, 0.1, (I, F)).astype(np.float32)),
+        U_pad, I_pad)
+    packed = fused.pack_history_device(offsets, flat, U, I)
+    win_cols = fused.pack_win_cols(packed, U, I)
+    chunk = fused.pick_chunk(bs, U, I, n)
+    rec, group, cids, ublk, iblk = fused.make_records_grouped(
+        u_rows, i_rows, np.ones(n, np.float32), U, I, bs, chunk)
+    cids_s, ublk_s, iblk_s = fused.split_layout_for_mesh(cids, ublk, iblk, 1)
+
+    ep = make_fused_dp_epoch_fn(mesh, U, I, F, 5, bs, chunk)
+    lls = []
+    for epoch in range(3):
+        tu, ti, ll = ep(tu, ti, win_cols, jnp.asarray(rec),
+                        jnp.asarray(group), jnp.asarray(cids_s),
+                        jnp.asarray(ublk_s), jnp.asarray(iblk_s),
+                        0.1, 0.01, jax.random.PRNGKey(3), epoch)
+        lls.append(float(ll))
+    assert all(np.isfinite(v) and v < 0.0 for v in lls), lls
+    w_i2, v_u2, v_i2 = fused.extract_tables(tu, ti, U, I, F)
+    assert np.isfinite(np.asarray(v_u2)).all()
+    assert np.isfinite(np.asarray(v_i2)).all()
+    # log likelihood improves over epochs
+    assert lls[-1] > lls[0], lls
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
+                    reason="Mosaic kernel needs TPU hardware")
+def test_model_fused_dp_mesh_end_to_end():
+    """RankFM(mesh=...) on TPU auto-dispatches to the fused DP path and
+    learns the planted structure."""
+    import pandas as pd
+    from jax.sharding import Mesh
+
+    from rankfm_tpu import RankFM
+    from rankfm_tpu.evaluation import hit_rate
+
+    rng = np.random.default_rng(12)
+    n_users, n_items = 200, 120
+    rows = []
+    for u in range(n_users):
+        grp = u % 2
+        pool = (np.arange(grp * n_items // 2, (grp + 1) * n_items // 2))
+        rows.append(np.stack(
+            [np.full(16, u), rng.choice(pool, 16, replace=False)], 1))
+    df = pd.DataFrame(np.concatenate(rows), columns=["u", "i"])
+    train = df.sample(frac=0.75, random_state=0)
+    test = df.drop(train.index)
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                axis_names=("data", "model"))
+    m = RankFM(factors=8, loss="warp", max_samples=8, learning_rate=0.1,
+               mesh=mesh)
+    m.fit(train, epochs=10)
+    assert m.is_fit and np.isfinite(m.v_i).all()
+    hr = hit_rate(m, test, k=10)
+    assert hr > 0.5, hr
