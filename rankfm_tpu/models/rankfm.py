@@ -626,6 +626,12 @@ class RankFM:
             sharded), continuing the GLOBAL epoch numbering so eta schedule
             and PRNG streams line up with any fused epochs before it."""
             bs_x = self._auto_batch_size(n, fused=False)
+            if self.mesh is not None:
+                # every sharded batch axis (DP shard_map AND the GSPMD
+                # fallback's in_shardings) needs the padded row count to
+                # divide the device count — round the batch up so n_pad
+                # inherits the property (odd meshes, e.g. 5 devices)
+                bs_x = ((bs_x + n_dev - 1) // n_dev) * n_dev
             n_pad = max(1, math.ceil(n / bs_x)) * bs_x
             u = np.zeros(n_pad, dtype=np.int32)
             i = np.zeros(n_pad, dtype=np.int32)
