@@ -427,3 +427,62 @@ def test_fused_dp_epoch_shuffles_but_conserves_counts():
         np.testing.assert_array_equal(
             np.asarray(tab_u[:, 0]), np.bincount(u, minlength=U_pad))
         assert float(ll) == n
+
+
+def test_fused_dp_epoch_feature_variant_plumbing():
+    """The 17-arg feature form: feature tables ride the same delta-psum
+    merge (donation indices, psum over tab_uf/tab_if, beta threading)."""
+    from rankfm_tpu.ops import fused as fused_mod
+    from rankfm_tpu.parallel.fused import make_fused_dp_epoch_fn
+
+    rng = np.random.default_rng(7)
+    U, I, n, bs = 200, 150, 1500, 1024
+    u = rng.integers(0, U, n).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    sw = np.ones(n, np.float32)
+
+    chunk = fused_mod.pick_chunk(bs // 8, U, I, n)
+    rec, group, cids, ublk, iblk = fused_mod.make_records_grouped(
+        u, i, sw, U, I, bs, chunk)
+    cids_s, ublk_s, iblk_s = fused_mod.split_layout_for_mesh(
+        cids, ublk, iblk, 8)
+
+    def fake_feat_batch_fn(tab_u, tab_i, rec_, win_cols, cid, blk, ublk_,
+                           iblk_, seed, eta, dreg, x_uf=None, x_if=None,
+                           tab_uf=None, tab_if=None):
+        idx = (cid[:, None] * chunk + jnp.arange(chunk)[None, :]).reshape(-1)
+        rows = rec_[idx]
+        valid = jax.lax.bitcast_convert_type(rows[:, 3], jnp.float32)
+        iid = jnp.where(rows[:, 1] >= 0, rows[:, 1], tab_i.shape[0] - 1)
+        tab_u = tab_u.at[rows[:, 0], 0].add(valid)
+        tab_i = tab_i.at[iid, 0].add(valid)
+        nvalid = jnp.sum(valid)
+        # feature tables: count visits in one cell (additive, mergeable)
+        tab_uf = tab_uf.at[0, 0].add(nvalid)
+        tab_if = tab_if.at[0, 0].add(nvalid * 2.0)
+        return tab_u, tab_i, tab_uf, tab_if, nvalid
+
+    mesh = make_mesh(data=8, model=1)
+    epoch_fn = make_fused_dp_epoch_fn(
+        mesh, U, I, 8, 1, bs, chunk, has_uf=True, has_if=True,
+        batch_fn=fake_feat_batch_fn)
+
+    U_pad, I_pad = fused_mod.user_pad(U), fused_mod.item_pad(I)
+    tab_u = jnp.zeros((U_pad, 128), jnp.float32)
+    tab_i = jnp.zeros((I_pad, 128), jnp.float32)
+    tab_uf = jnp.zeros((128, 128), jnp.float32)
+    tab_if = jnp.zeros((128, 128), jnp.float32)
+    x_uf = jnp.zeros((U_pad, 128), jnp.float32)
+    x_if = jnp.zeros((I_pad, 128), jnp.float32)
+
+    tab_u, tab_i, tab_uf, tab_if, ll = epoch_fn(
+        tab_u, tab_i, jnp.zeros((1, 128), jnp.int32), jnp.asarray(rec),
+        jnp.asarray(group), jnp.asarray(cids_s), jnp.asarray(ublk_s),
+        jnp.asarray(iblk_s), 0.1, 0.01, jax.random.PRNGKey(1), 0,
+        x_uf, x_if, tab_uf, tab_if, 0.05)
+
+    np.testing.assert_array_equal(
+        np.asarray(tab_u[:, 0]), np.bincount(u, minlength=U_pad))
+    assert float(tab_uf[0, 0]) == n
+    assert float(tab_if[0, 0]) == 2.0 * n
+    assert float(ll) == n
