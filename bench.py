@@ -46,7 +46,27 @@ def make_synthetic(rng):
     return np.stack([users, items], 1).astype(np.int64)
 
 
+def _probe_device(timeout_s=90):
+    """Fail FAST if the device pool is unreachable. When the axon TPU
+    tunnel is down, `jax.devices()` blocks forever with no error; probing
+    in a killable subprocess turns an indefinite hang into a clear exit."""
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    except subprocess.TimeoutExpired:
+        print("# device pool unreachable (probe timed out) — no benchmark "
+              "result this run", file=sys.stderr)
+        sys.exit(3)
+    except subprocess.CalledProcessError:
+        pass  # probe crashed for an unrelated reason; let the real run speak
+
+
 def main():
+    _probe_device()
+
     import jax
     from rankfm_tpu import RankFM
 
