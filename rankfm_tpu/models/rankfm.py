@@ -663,6 +663,41 @@ class RankFM:
             # with a differently-shaped operand is a crash, not a retrace
             mrl = (int(np.diff(self._ui_offsets).max())
                    if len(self._ui_offsets) > 1 else 1)
+            if self.mesh is not None and step_kind == 'candidate':
+                from rankfm_tpu.parallel.train import uses_dp
+                tbytes = sum(int(np.prod(v.shape)) * 4
+                             for v in self._weights.values())
+                if not uses_dp(self.mesh, bs_x, tbytes):
+                    # tables too large to replicate: explicit table-parallel
+                    # path (owner-shard gather/scatter exchange,
+                    # `parallel/tp.py`) instead of the GSPMD lowering, whose
+                    # schedules for row-sharded gathers measure ~10x slower
+                    from rankfm_tpu.parallel import tp as tp_mod
+                    fn = tp_mod.tp_epoch_fn(
+                        self.mesh, num_items, max_samples, x_uf_any,
+                        x_if_any, bs_x, sample_rounds=self.sample_rounds,
+                        max_row_len=mrl, post_reject=post_reject)
+                    w_tp, xu_tp, xi_tp = tp_mod.pad_and_place(
+                        self.mesh, self._weights,
+                        np.asarray(self._x_uf_dev),
+                        np.asarray(self._x_if_dev))
+                    hist = {"offsets": self._offsets_dev,
+                            "flat": self._flat_items_dev,
+                            "bitmap": jnp.zeros((1, 1), jnp.uint32)}
+                    u_dev, i_dev, sw_dev = map(jnp.asarray, (u, i, sw))
+                    for epoch in epoch_iter:
+                        t0 = _time.time()
+                        w_tp, ll = fn(
+                            w_tp, xu_tp, xi_tp, hist, u_dev, i_dev, sw_dev,
+                            n, float(_eta(epoch)), float(self.alpha),
+                            float(self.beta), base_key, rng_off + epoch)
+                        if verbose:
+                            self._weights = tp_mod.extract(
+                                w_tp, U, num_items)
+                        _log_epoch(epoch, _eta(epoch), ll,
+                                   _time.time() - t0)
+                    self._weights = tp_mod.extract(w_tp, U, num_items)
+                    return
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs_x,
                       n_pad, self._sampler, self.mesh is not None, step_kind,
                       self.dp_sync_every, post_reject, len(self._ui_items),
