@@ -87,3 +87,55 @@ print(f"DP collective overhead: {(t_dp/t1 - 1)*100:+.0f}% "
       f"per-chip efficiency floor on real devices: "
       f"{min(1.0, t1/t_dp)*100:.0f}% "
       f"({min(1.0, t1/t_dp8)*100:.0f}% at K=8)")
+
+# ---------------------------------------------------------------------------
+# candidate step, giant-table regime: explicit TP (parallel/tp.py) vs the
+# GSPMD lowering of the same step against row-sharded tables
+# ---------------------------------------------------------------------------
+from rankfm_tpu.parallel import tp as tp_mod
+
+mrl = int(counts.max())
+hist_csr = {"offsets": jnp.asarray(offsets),
+            "flat": jnp.asarray(uniq[:, 1].astype(np.int32)),
+            "bitmap": jnp.zeros((1, 1), jnp.uint32)}
+args_c = (hist_csr, jnp.asarray(u), jnp.asarray(i), jnp.ones(n), n,
+          jnp.float32(0.1), jnp.float32(0.01), jnp.float32(0.1),
+          jax.random.PRNGKey(3), 0)
+
+single_c = make_epoch_fn(I, 10, False, False, bs, donate=False,
+                         step_kind="candidate", sampler="bsearch",
+                         max_row_len=mrl)
+gspmd_c = make_sharded_epoch_fn(mesh, I, 10, False, False, bs,
+                                step_kind="candidate", sampler="bsearch",
+                                dp=False)
+tp_c = tp_mod.tp_epoch_fn(mesh, I, 10, False, False, bs, max_row_len=mrl)
+
+
+def best_of_c(fn, wt, k=3, place=None):
+    best = float("inf")
+    for _ in range(k):
+        wc = {kk: v.copy() for kk, v in wt.items()}
+        if place == "gspmd":
+            wc = place_weights(mesh, wc)
+            t0 = time.time()
+            _, ll = fn(wc, x_uf, x_if, *args_c)
+        elif place == "tp":
+            wc, xu_t, xi_t = tp_mod.pad_and_place(mesh, wc, np.asarray(x_uf),
+                                                  np.asarray(x_if))
+            t0 = time.time()
+            _, ll = fn(wc, xu_t, xi_t, *args_c)
+        else:
+            t0 = time.time()
+            _, ll = fn(wc, x_uf, x_if, *args_c)
+        jax.block_until_ready(ll)
+        best = min(best, time.time() - t0)
+    return best
+
+
+t1c = best_of_c(single_c, w)
+t_tpx = best_of_c(tp_c, w, place="tp")
+t_gspmd = best_of_c(gspmd_c, w, place="gspmd")
+print(f"candidate step | single: {t1c*1e3:.0f} ms | explicit TP "
+      f"(owner-shard exchange): {t_tpx*1e3:.0f} ms "
+      f"({(t_tpx/t1c - 1)*100:+.0f}%) | GSPMD row-sharded: "
+      f"{t_gspmd*1e3:.0f} ms ({(t_gspmd/t1c - 1)*100:+.0f}%)")
