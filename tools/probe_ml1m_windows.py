@@ -36,10 +36,15 @@ train, test = make_latent_dataset(rng, n_users=6040, n_items=3706,
 print(f"train={len(train)} test={len(test)}", flush=True)
 
 oracle = None
-for arm, nw in (("nw1", None), ("nw2", 2), ("nw4", 4)):
+for arm, nw, ts in (("nw1", None, "auto"), ("nw2", 2, "auto"),
+                    ("nw4", 4, "auto"),
+                    # mixed at <= 8 blocks: fused epochs + 3 candidate tail
+                    # epochs — does catalog-wide hardest-negative finishing
+                    # close the fused HR gap while staying >= 50x?
+                    ("mixed", None, "mixed")):
     m = RankFM(factors=20, loss="warp", max_samples=20, alpha=0.01,
                sigma=0.1, learning_rate=0.1, learning_schedule="invscaling",
-               seed=1492, n_windows=nw)
+               seed=1492, n_windows=nw, train_step=ts)
     t0 = time.time()
     m.fit(train, epochs=20)
     cold = time.time() - t0
