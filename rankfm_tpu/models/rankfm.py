@@ -648,6 +648,15 @@ class RankFM:
                     nblk = (fused_mod.item_pad(num_items)
                             // fused_mod.block_size(num_items))
                     step_kind = 'window' if nblk <= 8 else 'candidate'
+                    if self.mesh is not None and step_kind == 'window':
+                        # giant tables (e.g. 100M-user v_u with a small
+                        # catalog) can't replicate: prefer the explicit TP
+                        # candidate path over the GSPMD window lowering
+                        from rankfm_tpu.parallel.train import uses_dp
+                        tb = sum(int(np.prod(v.shape)) * 4
+                                 for v in self._weights.values())
+                        if not uses_dp(self.mesh, bs_x, tb):
+                            step_kind = 'candidate'
                 else:
                     step_kind = self.train_step
             # post-hoc membership testing of only the selected negative is

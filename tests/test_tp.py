@@ -187,3 +187,32 @@ def test_model_routes_to_tp_when_tables_exceed_dp_budget(monkeypatch):
     # warm-start continues from TP-trained state
     m.fit_partial(train, epochs=1)
     assert np.isfinite(m.v_i).all()
+
+
+def test_auto_step_prefers_tp_for_giant_tables_small_catalog(monkeypatch):
+    """train_step='auto' with a small catalog resolves 'window' — but when
+    the tables exceed the DP budget on a mesh, it must switch to the TP
+    candidate path instead of the GSPMD window lowering."""
+    import pandas as pd
+
+    import rankfm_tpu.parallel.train as ptrain
+    from rankfm_tpu import RankFM
+
+    monkeypatch.setattr(ptrain, "DP_TABLE_BYTES", 0)
+    calls = []
+    real = tp.tp_epoch_fn
+
+    def spy(*a, **k):
+        calls.append(a)
+        return real(*a, **k)
+
+    monkeypatch.setattr(tp, "tp_epoch_fn", spy)
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({"u": rng.integers(0, 40, 600),
+                       "i": rng.integers(0, 50, 600)})
+    mesh = make_mesh(data=2, model=4)
+    m = RankFM(factors=8, loss="warp", max_samples=4, batch_size=128,
+               mesh=mesh)  # train_step='auto', catalog far below 8 blocks
+    m.fit(df, epochs=2)
+    assert m.is_fit and np.isfinite(m.v_i).all()
+    assert calls, "auto routing did not take the TP path"
