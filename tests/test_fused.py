@@ -506,3 +506,41 @@ def test_model_fused_dp_mesh_end_to_end():
     assert m.is_fit and np.isfinite(m.v_i).all()
     hr = hit_rate(m, test, k=10)
     assert hr > 0.5, hr
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
+                    reason="Mosaic kernel needs TPU hardware")
+def test_model_fused_dp_mesh_with_features():
+    """Feature-variant fused DP on a 1-device mesh through the model API:
+    the 17-arg program (feature DMAs + feature-table psum merge) compiles
+    and trains with side features and sample weights."""
+    import pandas as pd
+    from jax.sharding import Mesh
+
+    from rankfm_tpu import RankFM
+
+    rng = np.random.default_rng(21)
+    n_users, n_items, n_dept = 150, 100, 6
+    dept = rng.integers(0, n_dept, n_items)
+    rows = []
+    for u in range(n_users):
+        fav = u % n_dept
+        pool = np.flatnonzero(dept == fav)
+        k = min(10, len(pool))
+        rows.append(np.stack([np.full(k, u),
+                              rng.choice(pool, k, replace=False)], 1))
+    df = pd.DataFrame(np.concatenate(rows), columns=["u", "i"])
+    item_feat = pd.DataFrame(
+        {"i": np.arange(n_items),
+         **{f"d{d}": (dept == d).astype(np.float32) for d in range(n_dept)}})
+    sw = pd.Series(rng.uniform(0.5, 2.0, len(df)).astype(np.float32))
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                axis_names=("data", "model"))
+    m = RankFM(factors=8, loss="warp", max_samples=6, learning_rate=0.1,
+               mesh=mesh)
+    m.fit(df, item_features=item_feat, sample_weight=sw, epochs=6)
+    assert m.is_fit
+    assert np.isfinite(m.v_i).all() and np.isfinite(m.v_if).all()
+    # feature factors actually trained
+    assert np.abs(m.v_if).max() > 0
