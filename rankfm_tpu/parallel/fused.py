@@ -40,18 +40,6 @@ def _mesh_dims(mesh):
     return axes, sizes, n_dev
 
 
-def fused_dp_eligible(mesh, num_users, num_items, factors, x_uf_any, x_if_any,
-                      batch_size, num_uf=0, num_if=0):
-    """Can the fused kernel run data-parallel on this mesh? Requires the
-    single-chip eligibility (tables + scratch fit VMEM) plus a per-device
-    batch that is a whole multiple of 128 rows (the chunk floor)."""
-    _, _, n_dev = _mesh_dims(mesh)
-    if batch_size % (128 * n_dev) != 0:
-        return False
-    return fused_mod.fused_eligible(num_users, num_items, factors, x_uf_any,
-                                    x_if_any, num_uf=num_uf, num_if=num_if)
-
-
 @lru_cache(maxsize=16)
 def _cached_fused_dp_epoch(mesh_key, num_users, num_items, factors,
                            max_samples, batch_size, chunk, table_bf16,
