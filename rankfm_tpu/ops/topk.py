@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from rankfm_tpu.ops import scoring
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # plain float: a jnp scalar here would init the device backend at IMPORT time (hangs when the TPU tunnel is down)
 
 
 def topk_for_users(w, x_uf, x_if, u_idx, n_items, seen_rows, seen_cols):

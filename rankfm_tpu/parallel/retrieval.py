@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = float("-inf")  # plain float: a jnp scalar here would init the device backend at IMPORT time (hangs when the TPU tunnel is down)
 
 
 def _local_topk_kernel(u_mat, i_mat, item_bias, seen_rows, seen_cols, n_items,
