@@ -162,7 +162,20 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
                         payload, in_tree, out_tree,
                         execution_devices=[jax.devices()[0]])
                 else:
-                    compiled = jitted.lower(*args).compile()
+                    # an executable served from the FIRST-LEVEL persistent
+                    # cache serializes to a payload whose fused-function
+                    # symbols are missing at load time (observed on
+                    # XLA:CPU: "NOT_FOUND: Function slice_reduce_fusion
+                    # not found" whenever the first-level cache was warm)
+                    # — force a REAL compile for the payload we store
+                    prev = jax.config.jax_enable_compilation_cache
+                    try:
+                        jax.config.update(
+                            "jax_enable_compilation_cache", False)
+                        compiled = jitted.lower(*args).compile()
+                    finally:
+                        jax.config.update(
+                            "jax_enable_compilation_cache", prev)
                     payload, in_tree, out_tree = serialize(compiled)
                     os.makedirs(cache_dir(), exist_ok=True)
                     f = tempfile.NamedTemporaryFile(
@@ -192,6 +205,9 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
         except Exception:
             if fn is jitted:
                 raise
+            if os.environ.get("RANKFM_TPU_AOT_DEBUG"):
+                import traceback
+                traceback.print_exc()
             # deserialized executable rejected the call (layout/sharding
             # mismatch happens BEFORE dispatch, so donated buffers are
             # intact) — recompile through the normal jit path
