@@ -83,6 +83,64 @@ def _decay_apply(wt, grad, counts, eta, reg):
     return ck * wt + eta * f * grad
 
 
+def window_warp_select(pw, nonmem, kcand, kgeo, M):
+    """Shared window-WARP selection (fused-kernel semantics): given pairwise
+    utilities ``pw [G, Bg, W]`` over each group's negative window and window
+    non-membership ``nonmem``, draw the WARP outcome with zero data-dependent
+    control flow — the draw count is 1 + Geometric of the window's violator
+    rate, a uniform window violator is picked by masked argmax, and the
+    no-violation fallback takes the hardest member of a Bernoulli subset that
+    emulates "hardest of ``M`` uniform draws" exactly (`_rankfm.pyx:244-270`).
+
+    Returns ``(jloc [G, Bg], sampled [G*Bg] int32, has_j [G*Bg] bool)``.
+    Shared by the single-device window step and the explicit-TP window step
+    (`rankfm_tpu/parallel/tp.py`) so their selection semantics can never
+    drift."""
+    G, Bg, W = pw.shape
+    B = G * Bg
+    u01 = jax.random.uniform(kcand, (G, Bg, W), minval=1e-7, maxval=1.0)
+    if M == 1:
+        key_m = jnp.where(nonmem, u01, -jnp.inf)
+        sampled = jnp.ones((B,), jnp.int32)
+    else:
+        viol = (pw < MARGIN) & nonmem
+        nv = jnp.sum(viol.astype(jnp.float32), axis=2)            # [G, Bg]
+        n_nonmem = jnp.sum(nonmem.astype(jnp.float32), axis=2)
+        r1 = jax.random.uniform(kgeo, (G, Bg), minval=1e-7, maxval=1.0)
+        p_c = jnp.clip(nv / jnp.maximum(n_nonmem, 1.0), 1e-9, 1.0 - 1e-7)
+        geo = jnp.floor(jnp.log(r1) / jnp.log(1.0 - p_c)) + 1.0
+        geo = jnp.where(nv > 0, geo, jnp.float32(M))
+        found = (nv > 0) & (geo <= M)
+        sampled = jnp.minimum(geo, jnp.float32(M)).astype(jnp.int32).reshape(B)
+        # fallback = the reference's "hardest of max_samples uniform
+        # draws" (`_rankfm.pyx:259-268`): Bernoulli-subsample the window
+        # non-members at rate M/n_nonmem (= M uniform draws in
+        # expectation) and take the hardest inside the subset; items
+        # outside the subset ride 1e6 lower so the global hardest still
+        # backstops an empty subset
+        pthr = (M / jnp.maximum(n_nonmem, 1.0))[:, :, None]
+        off_subset = (u01 >= pthr).astype(jnp.float32) * 1e6
+        key_m = jnp.where(
+            found[:, :, None],
+            jnp.where(viol, u01, -jnp.inf),
+            jnp.where(nonmem & ~viol, -pw - off_subset, -jnp.inf),
+        )
+    jloc = jnp.argmax(key_m, axis=2)                              # [G, Bg]
+    has_j = (jnp.max(key_m, axis=2) > -jnp.inf).reshape(B)
+    return jloc, sampled, has_j
+
+
+def pick_window_groups(B):
+    """Number of independent negative windows per batch: double until each
+    group lands in [128, 256) rows — negatives drawn from a single shared
+    window over-correlate the j choices within a batch and cluster stale
+    pushes on one block. Shared by the window step and its TP twin."""
+    G = 1
+    while G < 64 and B % (2 * G) == 0 and B // (2 * G) >= 128:
+        G *= 2
+    return G
+
+
 def _apply_pair_updates(w, u, i, j, d, row_ok, v_u_b, user_rep_b, x_uf_b,
                         v_i_pos, v_i_j, x_if_pos, x_if_j, feat_rep_pos,
                         feat_rep_j, eta, alpha, beta, x_uf_any, x_if_any,
@@ -363,13 +421,7 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
 
     def step(w, x_uf, x_if, packed_hist, u, i, sw, valid, eta, alpha, beta, key):
         B = u.shape[0]
-        # G independent windows per batch, one per 128-255-row group (the
-        # loop doubles G until the group lands in [128, 256)): negatives
-        # drawn from a single shared window over-correlate the j choices
-        # within a batch and cluster stale pushes on one block
-        G = 1
-        while G < 64 and B % (2 * G) == 0 and B // (2 * G) >= 128:
-            G *= 2
+        G = pick_window_groups(B)
         Bg = B // G
         kblk, kcand, kgeo = jax.random.split(key, 3)
         blkg = draw_window_blocks(kblk, (G,), num_items, real_cum)
@@ -424,36 +476,8 @@ def make_window_train_step(num_items, max_samples, x_uf_any, x_if_any,
         ut_ui = jnp.sum(u_mat * i_rows, axis=-1) + item_bias[i]
         pw = ut_ui.reshape(G, Bg)[:, :, None] - scores_win    # [G, Bg, BLK]
 
-        # ---- WARP selection (fused-kernel semantics, `ops/fused.py`) ----
-        u01 = jax.random.uniform(kcand, (G, Bg, BLK), minval=1e-7, maxval=1.0)
-        if M == 1:
-            key_m = jnp.where(nonmem, u01, -jnp.inf)
-            sampled = jnp.ones((B,), jnp.int32)
-        else:
-            viol = (pw < MARGIN) & nonmem
-            nv = jnp.sum(viol.astype(jnp.float32), axis=2)            # [G, Bg]
-            n_nonmem = jnp.sum(nonmem.astype(jnp.float32), axis=2)
-            r1 = jax.random.uniform(kgeo, (G, Bg), minval=1e-7, maxval=1.0)
-            p_c = jnp.clip(nv / jnp.maximum(n_nonmem, 1.0), 1e-9, 1.0 - 1e-7)
-            geo = jnp.floor(jnp.log(r1) / jnp.log(1.0 - p_c)) + 1.0
-            geo = jnp.where(nv > 0, geo, jnp.float32(M))
-            found = (nv > 0) & (geo <= M)
-            sampled = jnp.minimum(geo, jnp.float32(M)).astype(jnp.int32).reshape(B)
-            # fallback = the reference's "hardest of max_samples uniform
-            # draws" (`_rankfm.pyx:259-268`): Bernoulli-subsample the window
-            # non-members at rate M/n_nonmem (= M uniform draws in
-            # expectation) and take the hardest inside the subset; items
-            # outside the subset ride 1e6 lower so the global hardest still
-            # backstops an empty subset
-            pthr = (M / jnp.maximum(n_nonmem, 1.0))[:, :, None]
-            off_subset = (u01 >= pthr).astype(jnp.float32) * 1e6
-            key_m = jnp.where(
-                found[:, :, None],
-                jnp.where(viol, u01, -jnp.inf),
-                jnp.where(nonmem & ~viol, -pw - off_subset, -jnp.inf),
-            )
-        jloc = jnp.argmax(key_m, axis=2)                      # [G, Bg]
-        has_j = (jnp.max(key_m, axis=2) > -jnp.inf).reshape(B)
+        # ---- WARP selection (fused-kernel semantics; shared helper) ----
+        jloc, sampled, has_j = window_warp_select(pw, nonmem, kcand, kgeo, M)
         j = (blkg[:, None] * BLK + jloc).reshape(B).astype(jnp.int32)
         j = jnp.minimum(j, num_items - 1)  # only reachable when has_j=False
         row_ok = (valid & has_j).astype(jnp.float32)

@@ -93,6 +93,78 @@ def extract(w_tp, num_users, num_items):
     }
 
 
+def _tp_apply_updates(w, m_idx, D, x_uf_any, x_if_any, u, i, j, d, row_ok,
+                      v_u_b, user_rep_b, x_uf_b, v_i_pos, v_i_j, x_if_pos,
+                      x_if_j, feat_rep_pos, feat_rep_j, eta, alpha, beta):
+    """Shared TP update block (candidate AND window steps): dense
+    feature-weight grads are local einsums psum-reduced over ``data``; the
+    selected-pair payloads ride ONE ``all_gather`` over ``data`` (O(B*F),
+    never table-sized) and every shard applies the rows it owns with the
+    same geometric per-touch decay as the single-chip step."""
+    d_col = d[:, None]
+    g_w_if = jnp.einsum("b,bq->q", d, x_if_pos - x_if_j,
+                        preferred_element_type=jnp.float32)
+    g_v_uf = jnp.einsum("b,bp,bf->pf", d, x_uf_b, v_i_pos - v_i_j,
+                        preferred_element_type=jnp.float32)
+    g_v_if = jnp.einsum("b,bq,bf->qf", d, x_if_pos - x_if_j, v_u_b,
+                        preferred_element_type=jnp.float32)
+    n_ok = jnp.sum(row_ok)
+    if x_if_any:
+        k_v_if = jnp.einsum(
+            "b,bq->q", row_ok, (x_if_pos != x_if_j).astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+    else:
+        k_v_if = jnp.zeros(w["v_if"].shape[0], jnp.float32)
+    if x_uf_any:
+        k_v_uf = jnp.einsum(
+            "b,bp->p", row_ok, (x_uf_b != 0).astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+    else:
+        k_v_uf = jnp.zeros(w["v_uf"].shape[0], jnp.float32)
+    if D > 1:
+        g_w_if, g_v_uf, g_v_if, n_ok, k_v_if, k_v_uf = jax.lax.psum(
+            (g_w_if, g_v_uf, g_v_if, n_ok, k_v_if, k_v_uf), "data")
+
+    g_u_rows = d_col * ((v_i_pos - v_i_j) + (feat_rep_pos - feat_rep_j))
+    gi_rows = d_col * user_rep_b
+    if D > 1:
+        ag = lambda a: jax.lax.all_gather(a, "data", tiled=True)
+        u_g, i_g, j_g, d_g, ok_g = map(ag, (u, i, j, d, row_ok))
+        g_u_rows_g, gi_rows_g = ag(g_u_rows), ag(gi_rows)
+    else:
+        u_g, i_g, j_g, d_g, ok_g = u, i, j, d, row_ok
+        g_u_rows_g, gi_rows_g = g_u_rows, gi_rows
+
+    def local_scatter(rows, idx, vals):
+        local = idx - m_idx * rows.shape[0]
+        ok = (local >= 0) & (local < rows.shape[0])
+        safe = jnp.where(ok, local, 0)
+        mask = ok[..., None] if vals.ndim > idx.ndim else ok
+        return rows.at[safe].add(jnp.where(mask, vals, 0))
+
+    zero_i = jnp.zeros_like(w["w_i"])
+    g_w_i = local_scatter(local_scatter(zero_i, i_g, d_g), j_g, -d_g)
+    k_i = local_scatter(local_scatter(zero_i, i_g, ok_g), j_g, ok_g)
+    g_v_i = local_scatter(
+        local_scatter(jnp.zeros_like(w["v_i"]), i_g, gi_rows_g),
+        j_g, -gi_rows_g)
+    g_v_u = local_scatter(jnp.zeros_like(w["v_u"]), u_g, g_u_rows_g)
+    k_u = local_scatter(jnp.zeros(w["v_u"].shape[0], jnp.float32),
+                        u_g, ok_g)
+
+    return {
+        "w_i": _decay_apply(w["w_i"], g_w_i, k_i, eta, alpha),
+        "v_i": _decay_apply(w["v_i"], g_v_i, k_i, eta, alpha),
+        "v_u": _decay_apply(w["v_u"], g_v_u, k_u, eta, alpha),
+        "w_if": _decay_apply(
+            w["w_if"], g_w_if,
+            jnp.broadcast_to(n_ok, w["w_if"].shape) if x_if_any
+            else jnp.zeros_like(w["w_if"]), eta, beta),
+        "v_uf": _decay_apply(w["v_uf"], g_v_uf, k_v_uf, eta, beta),
+        "v_if": _decay_apply(w["v_if"], g_v_if, k_v_if, eta, beta),
+    }
+
+
 def _make_tp_step(mesh, num_items, max_samples, x_uf_any, x_if_any,
                   sample_rounds, max_row_len, post_reject):
     """Per-device body (run under shard_map) for one TP training batch."""
@@ -209,91 +281,197 @@ def _make_tp_step(mesh, num_items, max_samples, x_uf_any, x_if_any,
         feat_rep_j = feat_rows[sel_flat]
         x_if_j = x_if_rows[sel_flat]
 
-        # ---- dense feature-weight grads: local einsums, psum over data ---
-        d_col = d[:, None]
-        g_w_if = jnp.einsum("b,bq->q", d, x_if_pos - x_if_j,
-                            preferred_element_type=jnp.float32)
-        g_v_uf = jnp.einsum("b,bp,bf->pf", d, x_uf_b, v_i_pos - v_i_j,
-                            preferred_element_type=jnp.float32)
-        g_v_if = jnp.einsum("b,bq,bf->qf", d, x_if_pos - x_if_j, v_u_b,
-                            preferred_element_type=jnp.float32)
-        n_ok = jnp.sum(row_ok)
-        if x_if_any:
-            k_v_if = jnp.einsum(
-                "b,bq->q", row_ok, (x_if_pos != x_if_j).astype(jnp.float32),
-                preferred_element_type=jnp.float32)
-        else:
-            k_v_if = jnp.zeros(w["v_if"].shape[0], jnp.float32)
-        if x_uf_any:
-            k_v_uf = jnp.einsum(
-                "b,bp->p", row_ok, (x_uf_b != 0).astype(jnp.float32),
-                preferred_element_type=jnp.float32)
-        else:
-            k_v_uf = jnp.zeros(w["v_uf"].shape[0], jnp.float32)
-        if D > 1:
-            g_w_if, g_v_uf, g_v_if, n_ok, k_v_if, k_v_uf = jax.lax.psum(
-                (g_w_if, g_v_uf, g_v_if, n_ok, k_v_if, k_v_uf), "data")
-
-        # ---- row-table updates: gather the sparse payloads over data,
-        # then every shard applies the rows it owns ----
-        g_u_rows = d_col * ((v_i_pos - v_i_j) + (feat_rep_pos - feat_rep_j))
-        gi_rows = d_col * user_rep_b
-        if D > 1:
-            ag = lambda a: jax.lax.all_gather(a, "data", tiled=True)
-            u_g, i_g, j_g, d_g, ok_g = map(ag, (u, i, j, d, row_ok))
-            g_u_rows_g, gi_rows_g = ag(g_u_rows), ag(gi_rows)
-        else:
-            u_g, i_g, j_g, d_g, ok_g = u, i, j, d, row_ok
-            g_u_rows_g, gi_rows_g = g_u_rows, gi_rows
-
-        def local_scatter(rows, idx, vals):
-            local = idx - m_idx * rows.shape[0]
-            ok = (local >= 0) & (local < rows.shape[0])
-            safe = jnp.where(ok, local, 0)
-            mask = ok[..., None] if vals.ndim > idx.ndim else ok
-            return rows.at[safe].add(jnp.where(mask, vals, 0))
-
-        zero_i = jnp.zeros_like(w["w_i"])
-        g_w_i = local_scatter(local_scatter(zero_i, i_g, d_g), j_g, -d_g)
-        k_i = local_scatter(local_scatter(zero_i, i_g, ok_g), j_g, ok_g)
-        g_v_i = local_scatter(
-            local_scatter(jnp.zeros_like(w["v_i"]), i_g, gi_rows_g),
-            j_g, -gi_rows_g)
-        g_v_u = local_scatter(jnp.zeros_like(w["v_u"]), u_g, g_u_rows_g)
-        k_u = local_scatter(jnp.zeros(w["v_u"].shape[0], jnp.float32),
-                            u_g, ok_g)
-
-        new_w = {
-            "w_i": _decay_apply(w["w_i"], g_w_i, k_i, eta, alpha),
-            "v_i": _decay_apply(w["v_i"], g_v_i, k_i, eta, alpha),
-            "v_u": _decay_apply(w["v_u"], g_v_u, k_u, eta, alpha),
-            "w_if": _decay_apply(
-                w["w_if"], g_w_if,
-                jnp.broadcast_to(n_ok, w["w_if"].shape) if x_if_any
-                else jnp.zeros_like(w["w_if"]), eta, beta),
-            "v_uf": _decay_apply(w["v_uf"], g_v_uf, k_v_uf, eta, beta),
-            "v_if": _decay_apply(w["v_if"], g_v_if, k_v_if, eta, beta),
-        }
+        # ---- gradients + decayed owner-shard updates (shared helper) ----
+        new_w = _tp_apply_updates(
+            w, m_idx, D, x_uf_any, x_if_any, u, i, j, d, row_ok,
+            v_u_b, user_rep_b, x_uf_b, v_i_pos, v_i_j, x_if_pos, x_if_j,
+            feat_rep_pos, feat_rep_j, eta, alpha, beta)
         return new_w, ll
 
     return step
 
 
+def _make_tp_window_step(mesh, num_items, max_samples, x_uf_any, x_if_any):
+    """Window-WARP training step over row-sharded tables — the TP twin of
+    `ops.training.make_window_train_step` (same `window_warp_select`
+    semantics), so giant-table meshes no longer pay the candidate step's
+    per-row gather cost on window-sized catalogs.
+
+    Exchanges per batch (all O(batch)- or O(window)-sized, never
+    table-sized): one psum-gather of the batch's user rows + packed history
+    rows, one psum-gather of G window row-blocks ([G*BLK, F]), one
+    psum-gather of the positive rows, then the shared payload all_gather
+    over ``data`` for the owner-shard updates. ``hist`` is
+    ``{'packed': [RU, W] int32}`` row-sharded over ``model``
+    (`pad_packed_hist`)."""
+    from rankfm_tpu.ops.fused import (
+        BITS_PER_LANE, block_size, draw_window_blocks, window_block_cdf)
+    from rankfm_tpu.ops.training import pick_window_groups, window_warp_select
+
+    M = max_samples
+    log_I = math.log(num_items) if num_items > 1 else 1.0
+    BLK = block_size(num_items)
+    LW = BLK // BITS_PER_LANE
+    lg_lw = LW.bit_length() - 1
+    real_cum = window_block_cdf(num_items)
+    D = mesh.shape["data"]
+
+    def step(w, x_uf, x_if, hist, u, i, sw, valid, eta, alpha, beta, key):
+        m_idx = jax.lax.axis_index("model")
+        if D > 1:
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+        B = u.shape[0]
+        RU = w["v_u"].shape[0]
+        RI = w["v_i"].shape[0]
+        G = pick_window_groups(B)
+        Bg = B // G
+        kblk, kcand, kgeo = jax.random.split(key, 3)
+        blkg = draw_window_blocks(kblk, (G,), num_items, real_cum)
+
+        def owner_gather(shard, idx, rows):
+            local = idx - m_idx * rows
+            ok = (local >= 0) & (local < rows)
+            safe = jnp.where(ok, local, 0)
+            v = shard[safe]
+            mask = ok[..., None] if v.ndim > idx.ndim else ok
+            return jax.lax.psum(jnp.where(mask, v, 0), "model")
+
+        # ---- batch user rows + their packed history rows (ONE exchange
+        # each; the history words are int32 — psum adds exact zeros) ----
+        v_u_b = owner_gather(w["v_u"], u, RU)                   # [B, F]
+        rows_full = owner_gather(hist["packed"], u, RU)         # [B, W]
+        x_uf_b = owner_gather(x_uf, u, RU) if x_uf_any \
+            else jnp.zeros((B, x_uf.shape[1]), x_uf.dtype)
+        user_rep_b = v_u_b + jnp.dot(x_uf_b, w["v_uf"],
+                                     preferred_element_type=jnp.float32)
+
+        rf3 = rows_full.reshape(G, Bg, -1)
+        rows = jax.vmap(lambda rf, b: jax.lax.dynamic_slice_in_dim(
+            rf, b * LW, LW, axis=1))(rf3, blkg)                 # [G, Bg, LW]
+        col = jnp.arange(BLK, dtype=jnp.int32)[None, None, :]
+        bits = jnp.tile(rows, (1, 1, BITS_PER_LANE))            # [G, Bg, BLK]
+        nonmem = ((bits >> (col >> lg_lw)) & 1) == 0
+
+        # ---- window item rows: ONE [G*BLK]-row exchange (indices past the
+        # catalog resolve to zero rows owned by nobody; the history pack
+        # marks pad items as members so they are never selected) ----
+        win_idx = (blkg[:, None] * BLK
+                   + jnp.arange(BLK, dtype=jnp.int32)[None, :]).reshape(-1)
+        v_i_win = owner_gather(w["v_i"], win_idx, RI)           # [G*BLK, F]
+        w_i_win = owner_gather(w["w_i"], win_idx, RI)           # [G*BLK]
+        if x_if_any:
+            x_if_win = owner_gather(x_if, win_idx, RI)          # [G*BLK, Q]
+            feat_win = jnp.dot(x_if_win, w["v_if"],
+                               preferred_element_type=jnp.float32)
+            bias_win = w_i_win + jnp.dot(x_if_win, w["w_if"],
+                                         preferred_element_type=jnp.float32)
+        else:
+            x_if_win = jnp.zeros((win_idx.shape[0], x_if.shape[1]),
+                                 x_if.dtype)
+            feat_win = jnp.zeros_like(v_i_win)
+            bias_win = w_i_win
+
+        # ---- positive rows (one [B]-row exchange) + scoring ----
+        v_i_pos = owner_gather(w["v_i"], i, RI)                 # [B, F]
+        w_i_pos = owner_gather(w["w_i"], i, RI)
+        if x_if_any:
+            x_if_pos = owner_gather(x_if, i, RI)
+            feat_rep_pos = jnp.dot(x_if_pos, w["v_if"],
+                                   preferred_element_type=jnp.float32)
+            bias_pos = w_i_pos + jnp.dot(x_if_pos, w["w_if"],
+                                         preferred_element_type=jnp.float32)
+        else:
+            x_if_pos = jnp.zeros((B, x_if.shape[1]), x_if.dtype)
+            feat_rep_pos = jnp.zeros_like(v_i_pos)
+            bias_pos = w_i_pos
+
+        if x_uf_any or x_if_any:
+            u_mat = jnp.concatenate([user_rep_b, v_u_b], axis=-1)
+            i_pos_mat = jnp.concatenate([v_i_pos, feat_rep_pos], axis=-1)
+            i_win_mat = jnp.concatenate([v_i_win, feat_win], axis=-1)
+        else:
+            u_mat = v_u_b
+            i_pos_mat = v_i_pos
+            i_win_mat = v_i_win
+        ut_ui = jnp.sum(u_mat * i_pos_mat, axis=-1) + bias_pos  # [B]
+        scores_win = (
+            jnp.einsum("gbf,gwf->gbw",
+                       u_mat.reshape(G, Bg, -1).astype(jnp.bfloat16),
+                       i_win_mat.reshape(G, BLK, -1).astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+            + bias_win.reshape(G, 1, BLK)
+        )                                                       # [G, Bg, BLK]
+        pw = ut_ui.reshape(G, Bg)[:, :, None] - scores_win
+
+        # ---- WARP selection (shared helper; fused-kernel semantics) ----
+        jloc, sampled, has_j = window_warp_select(pw, nonmem, kcand, kgeo, M)
+        j = (blkg[:, None] * BLK + jloc).reshape(B).astype(jnp.int32)
+        j = jnp.minimum(j, num_items - 1)  # only reachable when has_j=False
+        row_ok = (valid & has_j).astype(jnp.float32)
+
+        # selected-j rows: slice back out of the gathered window rows
+        # (no second table exchange)
+        flat_sel = (jnp.arange(G, dtype=jnp.int32)[:, None] * BLK
+                    + jloc).reshape(B)
+        v_i_j = v_i_win[flat_sel]
+        x_if_j = x_if_win[flat_sel]
+        feat_rep_j = feat_win[flat_sel]
+        bias_j = bias_win[flat_sel]
+        if x_uf_any or x_if_any:
+            j_mat = jnp.concatenate([v_i_j, feat_rep_j], axis=-1)
+        else:
+            j_mat = v_i_j
+        # exact pointwise recompute at the selected j (f32)
+        ut_uj = jnp.sum(u_mat * j_mat, axis=-1) + bias_j
+        pw_sel = ut_ui - ut_uj
+
+        ratio = jnp.maximum((num_items - 1) // sampled, 1).astype(jnp.float32)
+        multiplier = jnp.log(ratio) / log_I
+        d = row_ok * sw * multiplier * jax.nn.sigmoid(-pw_sel)
+        ll_loc = jnp.sum(row_ok * jax.nn.log_sigmoid(pw_sel))
+        ll = jax.lax.psum(ll_loc, "data") if D > 1 else ll_loc
+
+        new_w = _tp_apply_updates(
+            w, m_idx, D, x_uf_any, x_if_any, u, i, j, d, row_ok,
+            v_u_b, user_rep_b, x_uf_b, v_i_pos, v_i_j, x_if_pos, x_if_j,
+            feat_rep_pos, feat_rep_j, eta, alpha, beta)
+        return new_w, ll
+
+    return step
+
+
+def pad_packed_hist(mesh, packed, num_users):
+    """Row-shard the blocked history pack over ``model`` (pad rows are
+    zeros — pad users never appear in a batch)."""
+    m = mesh.shape["model"]
+    arr = np.asarray(packed)
+    RU = _pad_rows(num_users, m)
+    arr = np.pad(arr, ((0, RU - arr.shape[0]), (0, 0)))
+    return jax.device_put(arr, NamedSharding(mesh, P("model", None)))
+
+
 @lru_cache(maxsize=16)
 def make_tp_epoch_fn(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
                      batch_size, sample_rounds=8, max_row_len=None,
-                     post_reject=False):
+                     post_reject=False, step_kind="candidate"):
     """Whole-epoch TP training compiled over the mesh.
 
     Same signature as `rankfm_tpu.ops.training.make_epoch_fn`'s product,
     except ``w``/``x_uf``/``x_if`` must be the padded row-sharded pytree
-    from `pad_and_place` and ``hist`` is the replicated CSR dict. Pass a
-    `_MeshKey`-wrapped mesh (hashable) or use `tp_epoch_fn`."""
+    from `pad_and_place`. ``hist`` is the replicated CSR dict for the
+    candidate step, or ``{'packed': pad_packed_hist(...)}`` (row-sharded
+    over ``model``) for the window step. Pass a `_MeshKey`-wrapped mesh
+    (hashable) or use `tp_epoch_fn`."""
     mesh = mesh_key.mesh
     D = mesh.shape["data"]
     assert batch_size % D == 0, (batch_size, D)
-    step = _make_tp_step(mesh, num_items, max_samples, x_uf_any, x_if_any,
-                         sample_rounds, max_row_len, post_reject)
+    if step_kind == "window":
+        step = _make_tp_window_step(mesh, num_items, max_samples,
+                                    x_uf_any, x_if_any)
+    else:
+        step = _make_tp_step(mesh, num_items, max_samples, x_uf_any,
+                             x_if_any, sample_rounds, max_row_len,
+                             post_reject)
 
     rep = P()
     row = P("model")
@@ -301,7 +479,10 @@ def make_tp_epoch_fn(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
     bsh = P("data")
     w_specs = {"w_i": row, "v_i": mat, "v_u": mat,
                "w_if": rep, "v_uf": rep, "v_if": rep}
-    hist_specs = {"offsets": rep, "flat": rep, "bitmap": rep}
+    if step_kind == "window":
+        hist_specs = {"packed": mat}
+    else:
+        hist_specs = {"offsets": rep, "flat": rep, "bitmap": rep}
     sharded_step = jax.shard_map(
         step, mesh=mesh,
         in_specs=(w_specs, mat, mat, hist_specs,
@@ -335,7 +516,8 @@ def make_tp_epoch_fn(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
     ws_sh = {k: NamedSharding(mesh, v) for k, v in w_specs.items()}
     mat_sh = NamedSharding(mesh, P("model", None))
     rep_sh = NamedSharding(mesh, P())
-    hist_sh = {k: rep_sh for k in ("offsets", "flat", "bitmap")}
+    hist_sh = {k: (mat_sh if v == mat else rep_sh)
+               for k, v in hist_specs.items()}
     # dynamic args (n_real is static): w, x_uf, x_if, hist, u, i, sw,
     # eta, alpha, beta, key, epoch
     in_sh = (ws_sh, mat_sh, mat_sh, hist_sh,
@@ -346,8 +528,10 @@ def make_tp_epoch_fn(mesh_key, num_items, max_samples, x_uf_any, x_if_any,
 
 
 def tp_epoch_fn(mesh, num_items, max_samples, x_uf_any, x_if_any, batch_size,
-                sample_rounds=8, max_row_len=None, post_reject=False):
+                sample_rounds=8, max_row_len=None, post_reject=False,
+                step_kind="candidate"):
     """Cached accessor (meshes aren't hashable; `_MeshKey` wraps them)."""
     return make_tp_epoch_fn(_MeshKey(mesh), num_items, max_samples,
                             bool(x_uf_any), bool(x_if_any), batch_size,
-                            sample_rounds, max_row_len, bool(post_reject))
+                            sample_rounds, max_row_len, bool(post_reject),
+                            step_kind)

@@ -76,6 +76,100 @@ def test_tp_epoch_matches_single_device_candidate_epoch():
                                    atol=2e-3, rtol=2e-2, err_msg=k)
 
 
+def test_tp_window_epoch_matches_single_device_window_epoch():
+    """data=1, model=8, step_kind='window' (round 3): same PRNG streams as
+    the single-device window step, so the whole epoch must agree — giant-
+    table meshes no longer pay candidate-step cost on window-sized
+    catalogs."""
+    from rankfm_tpu.ops import fused
+
+    rng = np.random.default_rng(3)
+    U, I, n, bs = 60, 90, 2000, 256
+    u, i, w, x_uf, x_if, hist, mrl = _fixture(rng, U=U, I=I, n=n)
+    up, ip, swp = _padded(u, i, n, bs)
+    args = (up, ip, swp, n, 0.1, 0.01, 0.1, jax.random.PRNGKey(5), 0)
+    packed = fused.pack_history_device(
+        np.asarray(hist["offsets"]), np.asarray(hist["flat"]), U, I)
+
+    ref_fn = make_epoch_fn(I, 4, False, False, bs, donate=False,
+                           step_kind="window")
+    w_ref, ll_ref = ref_fn({k: jnp.asarray(v) for k, v in w.items()},
+                           jnp.asarray(x_uf), jnp.asarray(x_if), packed,
+                           *args)
+
+    mesh = make_mesh(data=1, model=8)
+    w_tp, xu_tp, xi_tp = tp.pad_and_place(mesh, w, x_uf, x_if)
+    hist_tp = {"packed": tp.pad_packed_hist(mesh, packed, U)}
+    fn = tp.tp_epoch_fn(mesh, I, 4, False, False, bs, step_kind="window")
+    w_out, ll_out = fn(w_tp, xu_tp, xi_tp, hist_tp, *args)
+    w_got = tp.extract(w_out, U, I)
+
+    np.testing.assert_allclose(float(ll_out), float(ll_ref), rtol=2e-2)
+    for k in ("v_u", "v_i", "w_i"):
+        np.testing.assert_allclose(np.asarray(w_got[k]),
+                                   np.asarray(w_ref[k]),
+                                   atol=2e-3, rtol=2e-2, err_msg=k)
+
+
+def test_tp_window_epoch_trains_on_data_model_mesh():
+    """data=2, model=4, step_kind='window': multi-axis TP window training
+    improves the log-likelihood and never writes shard-padding rows."""
+    from rankfm_tpu.ops import fused
+
+    rng = np.random.default_rng(8)
+    U, I, n, bs = 60, 90, 2000, 256
+    u, i, w, x_uf, x_if, hist, mrl = _fixture(rng, U=U, I=I, n=n)
+    up, ip, swp = _padded(u, i, n, bs)
+    packed = fused.pack_history_device(
+        np.asarray(hist["offsets"]), np.asarray(hist["flat"]), U, I)
+
+    mesh = make_mesh(data=2, model=4)
+    w_tp, xu_tp, xi_tp = tp.pad_and_place(mesh, w, x_uf, x_if)
+    hist_tp = {"packed": tp.pad_packed_hist(mesh, packed, U)}
+    fn = tp.tp_epoch_fn(mesh, I, 4, False, False, bs, step_kind="window")
+    lls = []
+    for ep in range(6):
+        w_tp, ll = fn(w_tp, xu_tp, xi_tp, hist_tp, up, ip, swp, n,
+                      0.1, 0.01, 0.1, jax.random.PRNGKey(5), ep)
+        lls.append(float(ll))
+    assert all(np.isfinite(v) for v in lls), lls
+    assert max(lls[3:]) > lls[0], lls
+    if w_tp["v_i"].shape[0] > I:
+        assert float(jnp.abs(w_tp["v_i"][I:]).max()) == 0.0
+    w_got = tp.extract(w_tp, U, I)
+    assert not np.allclose(np.asarray(w_got["v_u"]), w["v_u"])
+
+
+def test_model_auto_routes_tp_window_for_giant_tables(monkeypatch):
+    """train_step='auto', a 3-8-block catalog, and tables past the DP
+    budget must take the TP WINDOW path (round 3), not the candidate
+    fallback."""
+    import pandas as pd
+
+    import rankfm_tpu.parallel.train as ptrain
+    from rankfm_tpu import RankFM
+
+    monkeypatch.setattr(ptrain, "DP_TABLE_BYTES", 0)
+    calls = []
+    real = tp.tp_epoch_fn
+
+    def spy(*a, **k):
+        calls.append(k.get("step_kind", "candidate"))
+        return real(*a, **k)
+
+    monkeypatch.setattr(tp, "tp_epoch_fn", spy)
+    rng = np.random.default_rng(9)
+    # ~5800 observed items -> block_size 1024 -> 6 window blocks (3..8 band)
+    df = pd.DataFrame({"u": rng.integers(0, 50, 20000),
+                       "i": rng.integers(0, 6000, 20000)})
+    mesh = make_mesh(data=2, model=4)
+    m = RankFM(factors=8, loss="warp", max_samples=4, batch_size=128,
+               mesh=mesh)
+    m.fit(df, epochs=2)
+    assert m.is_fit and np.isfinite(m.v_i).all()
+    assert calls and calls[0] == "window", calls
+
+
 def test_tp_epoch_trains_on_data_model_mesh():
     """data=2, model=4: multi-axis TP (payload all-gather over data) trains
     and never writes the shard-padding rows."""
