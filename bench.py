@@ -79,18 +79,15 @@ def main():
 
     # warmup: compile + first epoch. The AOT executable cache
     # (rankfm_tpu.utils.aotcache) skips the ~70 s fused-program compile
-    # when a prior process stored the executable; report whether it could.
-    import glob as _glob
+    # when a prior process stored the executable; report per-program
+    # hit/miss telemetry so a cold-vs-warm regression is visible here.
     from rankfm_tpu.utils import aotcache
-    aot_before = set(_glob.glob(os.path.join(aotcache.cache_dir(), "*.pkl")))
     t0 = time.time()
     model.fit(inter, epochs=1)
     warm = time.time() - t0
-    aot_after = set(_glob.glob(os.path.join(aotcache.cache_dir(), "*.pkl")))
-    # directory deltas can't prove a HIT (a pre-existing payload may belong
-    # to another config) — report what is knowable: stored / present / none
-    aot_state = ("stored" if aot_after - aot_before
-                 else (f"present:{len(aot_before)}" if aot_before else "none"))
+    aot_state = ",".join(
+        f"{tag}:{v['disk_hits']}h/{v['compiles']}c"
+        for tag, v in sorted(aotcache.stats().items())) or "unused"
 
     # steady state: time EPOCHS epochs through the public API; best of three
     # runs (the shared-TPU link shows >10% run-to-run noise)
@@ -107,6 +104,7 @@ def main():
         "unit": "interactions/s",
         "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 2),
         "warmup_s": round(warm, 1),
+        "aot": aot_state,
     }
     print(json.dumps(result))
     print(f"# n={n} epochs={EPOCHS} elapsed={elapsed:.2f}s warmup(fit+compile)={warm:.1f}s "

@@ -46,6 +46,20 @@ _finite_sums = jax.jit(
     lambda w: {k: jnp.sum(v) for k, v in w.items()})
 
 
+@jax.jit
+def _ll_guard(ll, arrays):
+    """Fold weight-table finiteness into the epoch log-likelihood: NaN when
+    ANY leaf holds a non-finite value. Non-finiteness of the weights is
+    ABSORBING under the SGD update (NaN rows stay NaN), so a later lagged
+    poll of one guarded ll catches a divergence at whatever epoch it
+    happened — the per-epoch divergence abort (`_rankfm.pyx:328-329`)
+    without a per-epoch host sync."""
+    ok = jnp.bool_(True)
+    for a in jax.tree_util.tree_leaves(arrays):
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(a)))
+    return jnp.where(ok, ll, jnp.nan)
+
+
 def _next_pow2(n):
     return 1 << max(0, (int(n) - 1).bit_length())
 
@@ -84,7 +98,7 @@ class RankFM:
         TPU-specific (keyword-only) extras beyond the reference API:
 
         :param batch_size: training minibatch size (None = auto: up to 32k
-            on the fused path, whose synchronous unit is its 512-row chunk;
+            on the fused path, whose synchronous unit is its 256-row chunk;
             stability-capped power of two <= 8192 on the XLA steps)
         :param seed: base PRNG seed for negative sampling / epoch shuffling
             (the reference hard-codes MT19937 seed 1492, `_rankfm.pyx:182`)
@@ -101,10 +115,13 @@ class RankFM:
             epochs finished by a short candidate-step tail — catalog-wide
             hard negatives land where WARP needs them most; measured to
             BEAT pure-candidate quality at ~4x its speed on
-            Instacart-class catalogs), or 'auto' (window through 8 window
-            blocks; mixed beyond when the fused kernel is running,
-            candidate otherwise)
-        :param n_windows: negative windows drawn per 512-row chunk on the
+            Instacart-class catalogs), or 'auto': window from 3 through 8
+            window blocks; mixed beyond 8 (and, on the fused path, at
+            <= 2 blocks, where the pure window path is seed-fragile and
+            the tail costs ~nothing); candidate at <= 2 blocks on the
+            XLA path, where the full [B, I] score matmul costs the same
+            as a window
+        :param n_windows: negative windows drawn per 256-row chunk on the
             fused path (None = auto: 1 through 8 window blocks, 4 beyond).
             Each window is an independent size-weighted 1024-item block, so
             more windows widen the per-row candidate pool toward the full
@@ -451,7 +468,7 @@ class RankFM:
         stability boundary on small catalogs, while leaving large-catalog
         configs (e.g. ML-1M at B=8192) untouched.
 
-        The fused kernel's synchronous unit is its 512-row CHUNK, not the
+        The fused kernel's synchronous unit is its 256-row CHUNK, not the
         batch, so there the batch is just scan granularity — bigger is
         cheaper (fewer scan-step overheads) with no stability cost.
         """
@@ -587,6 +604,25 @@ class RankFM:
         # device; verbose keeps the reference's per-epoch reporting
         # (`_rankfm.pyx:328-336`).
         epoch_lls, epoch_secs = [], []
+        # fused-path weights live in packed device tables until _pull_back;
+        # the divergence raise needs them in self._weights for the named
+        # per-tensor message
+        div = {"pull": None}
+
+        def _raise_divergence(first_bad):
+            self._abort_epoch = first_bad  # first non-finite epoch index
+            self._abort_detected_at = len(epoch_lls)  # epochs dispatched
+            if div["pull"] is not None:
+                div["pull"]()
+            self._assert_finite()  # names the offending tensor; raises
+            raise AssertionError(
+                "log likelihood is not finite - try decreasing "
+                "feature/sample_weight magnitudes")
+
+        def _check_lls(vals):
+            for e, v in enumerate(vals):
+                if not np.isfinite(v):
+                    _raise_divergence(e)
 
         def _log_epoch(epoch, eta, ll, dt):
             epoch_lls.append(ll)
@@ -596,11 +632,21 @@ class RankFM:
                 penalty = self._reg_penalty()
                 print("\ntraining epoch:", epoch)
                 print("log likelihood:", round(float(ll) - penalty, 2))
+            elif len(epoch_lls) % 4 == 0 and len(epoch_lls) >= 3:
+                # lagged divergence poll: one scalar fetch per 4 epochs, two
+                # epochs behind the dispatch front — the pipeline stays >= 2
+                # deep (the reference aborts per epoch, `_rankfm.pyx:328-329`;
+                # pre-round-3 this deferred to END of fit, burning every
+                # remaining epoch of a diverged 100-epoch run)
+                if not np.isfinite(float(jax.device_get(epoch_lls[-3]))):
+                    _check_lls([float(x)
+                                for x in jax.device_get(epoch_lls)])
 
         fit_t0 = _time.time()
 
         def _finish_epochs():
             lls = [float(x) for x in jax.device_get(epoch_lls)]  # syncs
+            _check_lls(lls)  # raises at the FIRST bad epoch index
             self._assert_finite()
             if not verbose and epoch_secs:
                 # non-verbose epochs dispatch asynchronously (deliberately —
@@ -625,6 +671,7 @@ class RankFM:
             """Run epochs through the XLA step machinery (window/candidate/
             sharded), continuing the GLOBAL epoch numbering so eta schedule
             and PRNG streams line up with any fused epochs before it."""
+            div["pull"] = None  # self._weights is updated per epoch here
             bs_x = self._auto_batch_size(n, fused=False)
             if self.mesh is not None:
                 # every sharded batch axis (DP shard_map AND the GSPMD
@@ -632,7 +679,12 @@ class RankFM:
                 # divide the device count — round the batch up so n_pad
                 # inherits the property (odd meshes, e.g. 5 devices)
                 bs_x = ((bs_x + n_dev - 1) // n_dev) * n_dev
-            n_pad = max(1, math.ceil(n / bs_x)) * bs_x
+            # batch count quantized into ~3%-wide buckets so the compiled
+            # epoch program's shapes (and the AOT cache key) are stable
+            # under small interaction-count drift; pad rows carry valid=0
+            nb_x = max(1, math.ceil(n / bs_x))
+            qb = 1 << max(0, nb_x.bit_length() - 6)
+            n_pad = -(-nb_x // qb) * qb * bs_x
             u = np.zeros(n_pad, dtype=np.int32)
             i = np.zeros(n_pad, dtype=np.int32)
             sw = np.zeros(n_pad, dtype=np.float32)
@@ -641,22 +693,17 @@ class RankFM:
             sw[:n] = self.sample_weight
             if step_kind is None:
                 # windowed negatives are at metric parity with
-                # reference-style candidate draws up to ~8 window blocks;
-                # beyond that the candidate step's catalog-wide sampling
-                # measurably wins
+                # reference-style candidate draws from 3 through ~8 window
+                # blocks; beyond that the candidate step's catalog-wide
+                # sampling measurably wins, and at <= 2 blocks the
+                # candidate step's full [B, I] score matmul costs the same
+                # as the window matmul while the window path shows a fat
+                # left quality tail (tools/probe_dispatch_smallcat.py:
+                # worst -0.058 DCG over seeds vs candidate's +-0.03)
                 if self.train_step in ('auto', 'mixed'):
                     nblk = (fused_mod.item_pad(num_items)
                             // fused_mod.block_size(num_items))
-                    step_kind = 'window' if nblk <= 8 else 'candidate'
-                    if self.mesh is not None and step_kind == 'window':
-                        # giant tables (e.g. 100M-user v_u with a small
-                        # catalog) can't replicate: prefer the explicit TP
-                        # candidate path over the GSPMD window lowering
-                        from rankfm_tpu.parallel.train import uses_dp
-                        tb = sum(int(np.prod(v.shape)) * 4
-                                 for v in self._weights.values())
-                        if not uses_dp(self.mesh, bs_x, tb):
-                            step_kind = 'candidate'
+                    step_kind = 'window' if 2 < nblk <= 8 else 'candidate'
                 else:
                     step_kind = self.train_step
             # post-hoc membership testing of only the selected negative is
@@ -672,7 +719,7 @@ class RankFM:
             # with a differently-shaped operand is a crash, not a retrace
             mrl = (int(np.diff(self._ui_offsets).max())
                    if len(self._ui_offsets) > 1 else 1)
-            if self.mesh is not None and step_kind == 'candidate':
+            if self.mesh is not None and step_kind in ('window', 'candidate'):
                 from rankfm_tpu.parallel.train import uses_dp
                 tbytes = sum(int(np.prod(v.shape)) * 4
                              for v in self._weights.values())
@@ -680,19 +727,31 @@ class RankFM:
                     # tables too large to replicate: explicit table-parallel
                     # path (owner-shard gather/scatter exchange,
                     # `parallel/tp.py`) instead of the GSPMD lowering, whose
-                    # schedules for row-sharded gathers measure ~10x slower
+                    # schedules for row-sharded gathers measure ~10x slower.
+                    # Window-sized catalogs keep the window step (round 3:
+                    # `_make_tp_window_step`) instead of paying the
+                    # candidate step's per-row gather cost.
                     from rankfm_tpu.parallel import tp as tp_mod
                     fn = tp_mod.tp_epoch_fn(
                         self.mesh, num_items, max_samples, x_uf_any,
                         x_if_any, bs_x, sample_rounds=self.sample_rounds,
-                        max_row_len=mrl, post_reject=post_reject)
+                        max_row_len=mrl, post_reject=post_reject,
+                        step_kind=step_kind)
                     w_tp, xu_tp, xi_tp = tp_mod.pad_and_place(
                         self.mesh, self._weights,
                         np.asarray(self._x_uf_dev),
                         np.asarray(self._x_if_dev))
-                    hist = {"offsets": self._offsets_dev,
-                            "flat": self._flat_items_dev,
-                            "bitmap": jnp.zeros((1, 1), jnp.uint32)}
+                    if step_kind == 'window':
+                        hist = {"packed": tp_mod.pad_packed_hist(
+                            self.mesh,
+                            fused_mod.pack_history_device(
+                                self._ui_offsets, self._ui_items, U,
+                                num_items),
+                            U)}
+                    else:
+                        hist = {"offsets": self._offsets_dev,
+                                "flat": self._flat_items_dev,
+                                "bitmap": jnp.zeros((1, 1), jnp.uint32)}
                     u_dev, i_dev, sw_dev = map(jnp.asarray, (u, i, sw))
                     for epoch in epoch_iter:
                         t0 = _time.time()
@@ -700,6 +759,7 @@ class RankFM:
                             w_tp, xu_tp, xi_tp, hist, u_dev, i_dev, sw_dev,
                             n, float(_eta(epoch)), float(self.alpha),
                             float(self.beta), base_key, rng_off + epoch)
+                        ll = _ll_guard(ll, w_tp)
                         if verbose:
                             self._weights = tp_mod.extract(
                                 w_tp, U, num_items)
@@ -772,6 +832,7 @@ class RankFM:
                     float(_eta(epoch)), float(self.alpha), float(self.beta),
                     base_key, rng_off + epoch,
                 )
+                ll = _ll_guard(ll, w)
                 self._weights = w
                 _log_epoch(epoch, _eta(epoch), ll, _time.time() - t0)
 
@@ -895,10 +956,19 @@ class RankFM:
             # its speed (tools/probe_feature_ab.py, BENCHMARKS.md)
             n_tail = 0
             if (self.train_step == 'mixed'
-                    or (self.train_step == 'auto' and nblk_f > 8)):
+                    or (self.train_step == 'auto'
+                        and (nblk_f > 8 or nblk_f <= 2))):
                 # 3 tail epochs measured better than 5 at 30 epochs
-                # (more fused pre-training, same catalog-wide finish)
+                # (more fused pre-training, same catalog-wide finish).
+                # <= 2 blocks (round 3): the pure window path is
+                # seed-fragile on tiny catalogs (worst -0.118 HR vs the
+                # oracle over seeds) while the tail there costs ~0.1 s and
+                # restores +-0.03 on every metric
+                # (tools/probe_dispatch_smallcat.py)
                 n_tail = min(3, epochs // 6)
+                if self.train_step == 'auto' and nblk_f <= 2:
+                    # short fits still get at least one catalog-wide epoch
+                    n_tail = max(n_tail, min(1, epochs - 1))
             # wide-window tail: same fused kernel, more negative windows
             # per chunk — catalog exposure approaching the candidate step
             # at a fraction of its cost (experimental; see tail_windows)
@@ -931,6 +1001,7 @@ class RankFM:
 
             def _run_fused_epochs(fn, epoch_range):
                 nonlocal tab_u, tab_i, tab_uf, tab_if
+                div["pull"] = _pull_back
                 for epoch in epoch_range:
                     t0 = _time.time()
                     if has_feat:
@@ -940,11 +1011,13 @@ class RankFM:
                             float(self.alpha), base_key, rng_off + epoch,
                             xuf_pad, xif_pad, tab_uf, tab_if,
                             float(self.beta))
+                        ll = _ll_guard(ll, (tab_u, tab_i, tab_uf, tab_if))
                     else:
                         tab_u, tab_i, ll = fn(
                             tab_u, tab_i, self._win_cols, rec_dev, group_dev,
                             cids_dev, ublk_dev, iblk_dev, float(_eta(epoch)),
                             float(self.alpha), base_key, rng_off + epoch)
+                        ll = _ll_guard(ll, (tab_u, tab_i))
                     if verbose:
                         # reference-style live epoch reporting needs the
                         # weights pulled back each epoch (`_rankfm.pyx:328-336`)

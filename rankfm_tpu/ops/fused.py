@@ -119,19 +119,26 @@ def item_pad(num_items):
 def pick_chunk(batch_size, num_users, num_items, n):
     """Fused-kernel chunk rows. Must DIVIDE the batch (`make_records_grouped`
     lays out whole batches of whole chunks), so start from the largest
-    halving of 512 that divides it — e.g. batch_size=640 gets 128, never a
-    crashing 512 — then halve further while (user block x item block) guard
+    halving of 256 that divides it — e.g. batch_size=640 gets 128, never a
+    crashing 256 — then halve further while (user block x item block) guard
     padding would exceed ~15% of the epoch rows (smaller chunks waste less
     guard padding when the group count is large relative to n).
 
+    256, not 512 (round 3): the chunk is the kernel's negative-WINDOW
+    sharing unit — every row in a chunk draws from the same window — and
+    512-row sharing measurably over-correlates the negative pushes
+    (ML-1M headline at equal epochs vs the sequential oracle, worst seed:
+    -0.039 HR / -0.082 DCG at 512 vs -0.010 / -0.021 at 256, while 128 only
+    costs throughput: 42x vs 54x vs 60x; `tools/probe_chunk_quality.py`).
+
     Requires ``batch_size % 128 == 0`` (the fused eligibility gate enforces
-    this) — otherwise no halving of 512 divides the batch."""
+    this) — otherwise no halving of 256 divides the batch."""
     assert batch_size % 128 == 0, \
         f"fused batch_size must be a multiple of 128, got {batch_size}"
-    if batch_size <= 512:
+    if batch_size <= 256:
         chunk = batch_size
     else:
-        chunk = 512
+        chunk = 256
         while chunk > 128 and batch_size % chunk:
             chunk //= 2
     ng = num_user_blocks(num_users) * (
@@ -436,6 +443,15 @@ def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
     pad_cnt = (cnt + chunk - 1) // chunk * chunk
     nC = int(pad_cnt.sum()) // chunk
     nC_pad = (nC + nT - 1) // nT * nT
+    # quantize the padded chunk count into ~3%-wide buckets (multiples of
+    # max(nT, 2^(bits-6)) chunks): the compiled epoch program's shapes are
+    # then STABLE under small interaction-count drift, so the AOT
+    # executable cache keeps hitting when a production log grows a few
+    # thousand rows between retrains (round 2 paid the full ~70 s Mosaic
+    # recompile for a 0.4% row-count change, BENCH_r02). Extra slots are
+    # invalid guard chunks — worst-case ~3% wasted kernel work.
+    q = max(nT, 1 << max(0, nC_pad.bit_length() - 6))
+    nC_pad = _round_up(_round_up(nC_pad, q), nT)
     n_pad = nC_pad * chunk
 
     guard_u = user_pad(num_users) - 1

@@ -29,22 +29,42 @@ _SRC_HASH = None
 
 
 def _source_hash():
-    """Content hash of the package's Python sources — invalidates cached
-    executables whenever any compute-path code changes."""
+    """Content hash of the COMPUTE-PATH sources (`ops/`, `parallel/`) —
+    invalidates cached executables whenever code that is traced into the
+    hot fit programs changes. Deliberately NOT the whole package: an edit
+    to `evaluation.py` or `utils/data.py` cannot change a lowered program
+    (everything else reaches the key through argument avals and
+    ``key_parts``), and a whole-package hash was wiping the cache — and
+    re-paying the ~70 s Mosaic compile — on every cosmetic change."""
     global _SRC_HASH
     if _SRC_HASH is None:
         pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         h = hashlib.sha256()
-        for dirpath, dirnames, filenames in sorted(os.walk(pkg_root)):
-            dirnames.sort()
-            for fn in sorted(filenames):
+        for sub in ("ops", "parallel"):
+            d = os.path.join(pkg_root, sub)
+            for fn in sorted(os.listdir(d)):
                 if fn.endswith(".py"):
-                    p = os.path.join(dirpath, fn)
                     h.update(fn.encode())
-                    with open(p, "rb") as fh:
+                    with open(os.path.join(d, fn), "rb") as fh:
                         h.update(fh.read())
         _SRC_HASH = h.hexdigest()[:16]
     return _SRC_HASH
+
+
+# per-process hit/miss telemetry: {tag: [disk_hits, compiles, memo_hits]}
+# (read via `stats()`; bench.py reports it so a cold-vs-warm regression is
+# visible in the driver's own run, not just in local notes)
+_STATS = {}
+
+
+def _bump(tag, slot):
+    _STATS.setdefault(tag, [0, 0, 0])[slot] += 1
+
+
+def stats():
+    """{tag: {'disk_hits': n, 'compiles': n, 'memo_hits': n}} so far."""
+    return {t: {"disk_hits": v[0], "compiles": v[1], "memo_hits": v[2]}
+            for t, v in _STATS.items()}
 
 
 def cache_dir():
@@ -142,6 +162,7 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
         # call with a different static (e.g. a changed baked-in row count)
         # must not replay the executable compiled for the old value
         if state["fn"] is not None and state["statics"] == _statics(args):
+            _bump(tag, 2)
             return state["fn"](*args)
         fn = jitted
         try:
@@ -149,9 +170,12 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
                 deserialize_and_load, serialize)
             key = _key(tag, key_parts, args, static_set)
             fn = _LOADED.get(key)
+            if fn is not None:
+                _bump(tag, 2)
             if fn is None:
                 path = os.path.join(cache_dir(), f"{tag}-{key}.pkl")
                 if os.path.exists(path):
+                    _bump(tag, 0)
                     with open(path, "rb") as fh:
                         payload, in_tree, out_tree = pickle.load(fh)
                     # the cached fit programs are single-device; without
@@ -162,6 +186,7 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
                         payload, in_tree, out_tree,
                         execution_devices=[jax.devices()[0]])
                 else:
+                    _bump(tag, 1)
                     # an executable served from the FIRST-LEVEL persistent
                     # cache serializes to a payload whose fused-function
                     # symbols are missing at load time (observed on

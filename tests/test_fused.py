@@ -500,17 +500,24 @@ def test_model_fused_dp_mesh_end_to_end():
 
     mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
                 axis_names=("data", "model"))
-    m = RankFM(factors=8, loss="warp", max_samples=8, learning_rate=0.1,
-               mesh=mesh)
-    m.fit(train, epochs=10)
-    assert m.is_fit and np.isfinite(m.v_i).all()
-    hr = hit_rate(m, test, k=10)
-    # gate calibrated to the reference-exact candidate step on this exact
-    # dataset (hr 0.40-0.50 over seeds at 10 epochs; the tiny 120-item
-    # catalog overfits beyond that) — the mesh path must land in the same
-    # band, i.e. learn the planted 2-group structure, not match a fixed
-    # absolute number subject to seed noise
-    assert hr > 0.35, hr
+    hrs = []
+    for seed in (1492, 7, 23):
+        m = RankFM(factors=8, loss="warp", max_samples=8, learning_rate=0.1,
+                   mesh=mesh, seed=seed)
+        m.fit(train, epochs=10)
+        assert m.is_fit and np.isfinite(m.v_i).all()
+        hrs.append(hit_rate(m, test, k=10))
+    hr = float(np.mean(hrs))
+    # gate derived IN-TEST from the sequential reference-semantics oracle
+    # on this exact data/config — no hand-measured absolute constant to
+    # recalibrate when the fixture drifts (round-2 review flagged exactly
+    # that). Mean over 3 model seeds vs the oracle's own hit rate.
+    from rankfm_tpu import native
+    if native.get_oracle() is not None:
+        from parity_common import oracle_metrics
+        oracle_hr = oracle_metrics(m, train, test.values,
+                                   epochs=10)["hit_rate"]
+        assert hr > oracle_hr - 0.05, (hr, oracle_hr, hrs)
     # and clearly beat popularity: top-10 most-popular train items
     pop = train["i"].value_counts().index[:10].to_numpy()
     test_sets = test.groupby("u")["i"].apply(set)

@@ -465,6 +465,25 @@ def test_recommend_preserves_big_int64_ids():
     assert rec_ids <= {base + 1, base + 3, base + 5}, rec_ids
 
 
+def test_divergence_aborts_early_not_at_fit_end():
+    """a diverging fit must raise at (near) the first non-finite epoch —
+    the reference's per-epoch assert_finite (`_rankfm.pyx:328-329`) — not
+    after burning every remaining epoch. The lagged poll checks a guarded
+    ll every 4 epochs, so detection must land within ~6 epochs of the
+    divergence while the epoch pipeline stays asynchronous."""
+    rng = np.random.default_rng(0)
+    inter = np.stack([rng.integers(0, 50, 2000),
+                      rng.integers(0, 40, 2000)], 1)
+    sw = np.full(2000, 1e30, dtype=np.float32)  # overflow -> NaN weights
+    m = RankFM(factors=4, loss="warp", max_samples=3, learning_rate=0.1)
+    with pytest.raises(AssertionError, match="not finite"):
+        m.fit(inter, sample_weight=sw, epochs=60)
+    assert m._abort_epoch < 10, m._abort_epoch
+    # detected within the poll lag of the bad epoch, not at fit end
+    assert m._abort_detected_at <= m._abort_epoch + 7, (
+        m._abort_epoch, m._abort_detected_at)
+
+
 def test_diversity_contract():
     """diversity returns cnt/pct of users recommended each catalog item
     (`/root/reference/rankfm/evaluation.py:146-175`): one row per training
