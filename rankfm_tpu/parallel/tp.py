@@ -345,11 +345,32 @@ def _make_tp_window_step(mesh, num_items, max_samples, x_uf_any, x_if_any):
         user_rep_b = v_u_b + jnp.dot(x_uf_b, w["v_uf"],
                                      preferred_element_type=jnp.float32)
 
-        rf3 = rows_full.reshape(G, Bg, -1)
+        # ---- selection SHARDS over the model axis whenever the group
+        # count allows: every [*, BLK]-wide quantity (membership bits,
+        # window scores, WARP selection) is computed for this shard's
+        # contiguous 1/m of the groups only, and the per-row outcomes
+        # (jloc/sampled/has_j — O(B) ints) ride ONE all_gather back.
+        # Replicating that math across model was measured at +179% on the
+        # shared-core CPU mesh vs the candidate TP's +80%
+        # (tools/probe_mesh_scaling.py) and is wasted FLOPs on real chips.
+        msz = mesh.shape["model"]
+        split = msz > 1 and G % msz == 0
+        Gs = G // msz if split else G
+
+        def shard_rows(a):
+            return jax.lax.dynamic_slice_in_dim(
+                a, m_idx * (Gs * Bg), Gs * Bg, 0) if split else a
+
+        def shard_groups(a):
+            return jax.lax.dynamic_slice_in_dim(
+                a, m_idx * Gs, Gs, 0) if split else a
+
+        blkg_s = shard_groups(blkg)
+        rf3 = shard_rows(rows_full).reshape(Gs, Bg, -1)
         rows = jax.vmap(lambda rf, b: jax.lax.dynamic_slice_in_dim(
-            rf, b * LW, LW, axis=1))(rf3, blkg)                 # [G, Bg, LW]
+            rf, b * LW, LW, axis=1))(rf3, blkg_s)               # [Gs, Bg, LW]
         col = jnp.arange(BLK, dtype=jnp.int32)[None, None, :]
-        bits = jnp.tile(rows, (1, 1, BITS_PER_LANE))            # [G, Bg, BLK]
+        bits = jnp.tile(rows, (1, 1, BITS_PER_LANE))            # [Gs, Bg, BLK]
         nonmem = ((bits >> (col >> lg_lw)) & 1) == 0
 
         # ---- window item rows: ONE [G*BLK]-row exchange (indices past the
@@ -396,15 +417,30 @@ def _make_tp_window_step(mesh, num_items, max_samples, x_uf_any, x_if_any):
         ut_ui = jnp.sum(u_mat * i_pos_mat, axis=-1) + bias_pos  # [B]
         scores_win = (
             jnp.einsum("gbf,gwf->gbw",
-                       u_mat.reshape(G, Bg, -1).astype(jnp.bfloat16),
-                       i_win_mat.reshape(G, BLK, -1).astype(jnp.bfloat16),
+                       shard_rows(u_mat).reshape(Gs, Bg, -1)
+                       .astype(jnp.bfloat16),
+                       shard_groups(i_win_mat.reshape(G, BLK, -1))
+                       .astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-            + bias_win.reshape(G, 1, BLK)
-        )                                                       # [G, Bg, BLK]
-        pw = ut_ui.reshape(G, Bg)[:, :, None] - scores_win
+            + shard_groups(bias_win.reshape(G, 1, BLK))
+        )                                                       # [Gs, Bg, BLK]
+        pw = shard_rows(ut_ui).reshape(Gs, Bg)[:, :, None] - scores_win
 
-        # ---- WARP selection (shared helper; fused-kernel semantics) ----
-        jloc, sampled, has_j = window_warp_select(pw, nonmem, kcand, kgeo, M)
+        # ---- WARP selection (shared helper; fused-kernel semantics).
+        # Per-shard PRNG fold so two shards' groups never share the same
+        # uniforms; the per-row outcomes all_gather back in group order
+        # (each shard owns a CONTIGUOUS group range, and rows are laid out
+        # group-major, so tiled concatenation restores batch order). ----
+        if split:
+            kc = jax.random.fold_in(kcand, m_idx)
+            kg = jax.random.fold_in(kgeo, m_idx)
+        else:
+            kc, kg = kcand, kgeo
+        jloc, sampled, has_j = window_warp_select(pw, nonmem, kc, kg, M)
+        if split:
+            jloc = jax.lax.all_gather(jloc, "model", tiled=True)
+            sampled = jax.lax.all_gather(sampled, "model", tiled=True)
+            has_j = jax.lax.all_gather(has_j, "model", tiled=True)
         j = (blkg[:, None] * BLK + jloc).reshape(B).astype(jnp.int32)
         j = jnp.minimum(j, num_items - 1)  # only reachable when has_j=False
         row_ok = (valid & has_j).astype(jnp.float32)

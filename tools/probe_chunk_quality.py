@@ -1,12 +1,19 @@
-"""A/B: fused-kernel chunk size (the negative-window SHARING unit) at the
+"""A/B: fused-kernel chunk size (the synchronous update unit) at the
 full ML-1M headline — quality vs the C++ sequential oracle per seed, plus
 bench-style steady throughput (scratch model, warm programs, best-of-3
 fit_partial; quality from a separate CLEAN 20-epoch fit).
 
-Round-3 result (recorded in BENCHMARKS.md): chunk 512 over-correlates the
-within-chunk negative pushes (worst seed -0.039 HR / -0.082 DCG at 60x);
-256 restores +-0.021 on every metric at 54x; 128 only loses throughput
-(42x). `ops/fused.py:pick_chunk` defaults to 256 accordingly.
+Round-3 result (recorded in BENCHMARKS.md): chunk 512 measures worst-seed
+-0.039 HR / -0.082 DCG at 60x; 256 restores +-0.021 on every metric at
+54x; 128 only loses throughput (42x). `ops/fused.py:pick_chunk` defaults
+to 256 accordingly.
+
+NEGATIVE RESULT (tried and reverted): ROW-PARTITIONED windows — keep the
+512-row chunk but give each 256-row half its own window — measured
+worst-seed -0.035 HR / -0.069 DCG at only 51x, i.e. quality tracks the
+CHUNK (the synchronous update unit: 512 correlated updates applied at the
+same stale weights), not the window-sharing width. Don't re-try window
+diversity as a substitute for a smaller chunk.
 """
 import os, sys, time
 import numpy as np
