@@ -29,24 +29,26 @@ _SRC_HASH = None
 
 
 def _source_hash():
-    """Content hash of the COMPUTE-PATH sources (`ops/`, `parallel/`) —
-    invalidates cached executables whenever code that is traced into the
-    hot fit programs changes. Deliberately NOT the whole package: an edit
-    to `evaluation.py` or `utils/data.py` cannot change a lowered program
+    """Content hash of the sources traced into the cached programs.
+
+    Only SINGLE-DEVICE fit programs are ever AOT-cached (mesh executables
+    don't serialize portably), and those are built entirely from
+    `rankfm_tpu/ops/` — so the hash covers exactly that directory.
+    Deliberately NOT the whole package: an edit to `evaluation.py`,
+    `parallel/` or `utils/data.py` cannot change a cached lowered program
     (everything else reaches the key through argument avals and
     ``key_parts``), and a whole-package hash was wiping the cache — and
     re-paying the ~70 s Mosaic compile — on every cosmetic change."""
     global _SRC_HASH
     if _SRC_HASH is None:
         pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        d = os.path.join(pkg_root, "ops")
         h = hashlib.sha256()
-        for sub in ("ops", "parallel"):
-            d = os.path.join(pkg_root, sub)
-            for fn in sorted(os.listdir(d)):
-                if fn.endswith(".py"):
-                    h.update(fn.encode())
-                    with open(os.path.join(d, fn), "rb") as fh:
-                        h.update(fh.read())
+        for fn in sorted(os.listdir(d)):
+            if fn.endswith(".py"):
+                h.update(fn.encode())
+                with open(os.path.join(d, fn), "rb") as fh:
+                    h.update(fh.read())
         _SRC_HASH = h.hexdigest()[:16]
     return _SRC_HASH
 
