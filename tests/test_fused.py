@@ -184,6 +184,26 @@ def test_full_history_users_get_no_updates():
     assert float(ll) == 0.0
 
 
+def test_grouped_records_shape_stable_under_row_drift():
+    """the padded layout is quantized into ~3%-wide buckets so a few
+    thousand rows of interaction-count drift reuse the SAME compiled epoch
+    program (and AOT cache entry) — round 2 paid the full ~70 s Mosaic
+    recompile for exactly this drift (746,849 -> 749,724 rows, BENCH_r02)"""
+    U, I, bs = 6040, 3706, 32768
+    chunk = fused.pick_chunk(bs, U, I, 750_000)
+    rng = np.random.default_rng(0)
+    shapes = []
+    for n in (746_849, 749_724):
+        u = rng.integers(0, U, n).astype(np.int32)
+        i = rng.integers(0, I, n).astype(np.int32)
+        rec, group, cids, ublk, iblk = fused.make_records_grouped(
+            u, i, np.ones(n, np.float32), U, I, bs, chunk)
+        shapes.append((rec.shape, group.shape, cids.shape))
+    assert shapes[0] == shapes[1], shapes
+    # and the padding stays bounded (< 8% over the raw rows)
+    assert shapes[0][0][0] < 750_000 * 1.08
+
+
 def test_grouped_records_layout_invariants():
     """fit-time grouped layout: every chunk's rows share one user block;
     every input row appears exactly once; pad slots are invalid guard
