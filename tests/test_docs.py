@@ -26,6 +26,30 @@ def test_generated_reference_is_current():
         "docs/reference.md is stale — run `python tools/gen_api_docs.py`")
 
 
+def test_generated_notebooks_are_current_and_each_cell_parses():
+    """examples/*.ipynb are generated from the example scripts
+    (`tools/gen_notebooks.py` — the notebook-form counterpart of the
+    reference's examples/*.ipynb); they must match the scripts and every
+    code cell must parse standalone."""
+    import ast
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_notebooks", os.path.join(REPO, "tools", "gen_notebooks.py"))
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+    for name in gen.EXAMPLES:
+        out = os.path.join(REPO, "examples", f"{name}.ipynb")
+        with open(out) as fh:
+            on_disk = json.load(fh)
+        assert on_disk == gen.generate(name), (
+            f"examples/{name}.ipynb is stale — run "
+            "`python tools/gen_notebooks.py`")
+        for c in on_disk["cells"]:
+            if c["cell_type"] == "code":
+                ast.parse("".join(c["source"]))
+
+
 def test_api_md_covers_live_constructor_and_methods():
     from rankfm_tpu import RankFM
 
