@@ -123,6 +123,10 @@ class ImplicitALS:
         for s in range(0, n_rows, B):
             e = min(s + B, n_rows)
             L = max(int(lens[s:e].max()) if e > s else 1, 1)
+            # pow2 pad bucket: each distinct (B, L) is a fresh jit
+            # specialization of the batched solve — unbucketed Instacart
+            # chunks compiled ~60 distinct programs (~2 min of warmup)
+            L = 1 << (L - 1).bit_length()
             idx = np.zeros((e - s, L), dtype=np.int32)
             cf = np.zeros((e - s, L), dtype=np.float32)
             for r in range(s, e):
