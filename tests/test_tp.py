@@ -140,6 +140,44 @@ def test_tp_window_epoch_trains_on_data_model_mesh():
     assert not np.allclose(np.asarray(w_got["v_u"]), w["v_u"])
 
 
+def test_tp_window_sharded_selection_branch():
+    """batch large enough that the window-group count divides the model
+    axis (G=8, model=2): the SHARDED-selection branch (per-shard groups +
+    all_gather of the per-row outcomes) must train, improve ll, and leave
+    shard-padding rows untouched. (The exact-parity test above runs the
+    replicated branch — split selection uses per-shard PRNG folds, so its
+    draws legitimately differ from the single-device stream.)"""
+    from rankfm_tpu.ops import fused
+    from rankfm_tpu.ops.training import pick_window_groups
+
+    rng = np.random.default_rng(11)
+    U, I, n, bs = 300, 600, 8000, 2048
+    u, i, w, x_uf, x_if, hist, mrl = _fixture(rng, U=U, I=I, n=n)
+    up, ip, swp = _padded(u, i, n, bs)
+    packed = fused.pack_history_device(
+        np.asarray(hist["offsets"]), np.asarray(hist["flat"]), U, I)
+
+    mesh = make_mesh(data=4, model=2)
+    B_dev = bs // mesh.shape["data"]
+    G = pick_window_groups(B_dev)
+    assert G % mesh.shape["model"] == 0 and G > 1  # the branch under test
+
+    w_tp, xu_tp, xi_tp = tp.pad_and_place(mesh, w, x_uf, x_if)
+    hist_tp = {"packed": tp.pad_packed_hist(mesh, packed, U)}
+    fn = tp.tp_epoch_fn(mesh, I, 4, False, False, bs, step_kind="window")
+    lls = []
+    for ep in range(6):
+        w_tp, ll = fn(w_tp, xu_tp, xi_tp, hist_tp, up, ip, swp, n,
+                      0.1, 0.01, 0.1, jax.random.PRNGKey(5), ep)
+        lls.append(float(ll))
+    assert all(np.isfinite(v) for v in lls), lls
+    assert max(lls[3:]) > lls[0], lls
+    if w_tp["v_i"].shape[0] > I:
+        assert float(jnp.abs(w_tp["v_i"][I:]).max()) == 0.0
+    if w_tp["v_u"].shape[0] > U:
+        assert float(jnp.abs(w_tp["v_u"][U:]).max()) == 0.0
+
+
 def test_model_auto_routes_tp_window_for_giant_tables(monkeypatch):
     """train_step='auto', a 3-8-block catalog, and tables past the DP
     budget must take the TP WINDOW path (round 3), not the candidate
