@@ -123,11 +123,12 @@ class RankFM:
             as a window
         :param n_windows: negative windows drawn per 256-row chunk on the
             fused path (None = auto: 1 through 8 window blocks, 4 beyond).
-            Each window is an independent size-weighted 1024-item block, so
-            more windows widen the per-row candidate pool toward the full
-            catalog (hardest-negative search quality) at a per-window VMEM
-            scratch + membership cost; clamped to the catalog's block count
-            and the VMEM budget
+            Each window is an independent size-weighted 1024-item block;
+            selection pools over the union, which skews toward items of
+            larger blocks — measured to HURT quality on <= 8-block
+            catalogs (tools/probe_ml1m_windows.py: nw=2/4 cost
+            -0.03/-0.04 HR at ML-1M), so leave this at None there; clamped
+            to the catalog's block count and the VMEM budget
         :param tail_windows: (experimental) when the mixed schedule would
             run a candidate-step tail, instead finish with fused epochs
             drawing this many negative windows per chunk (wider catalog
