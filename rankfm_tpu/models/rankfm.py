@@ -64,6 +64,15 @@ def _next_pow2(n):
     return 1 << max(0, (int(n) - 1).bit_length())
 
 
+# candidate-step sampling strategy switch: below this history density the
+# step tests membership of only the SELECTED negative post-hoc (with two
+# re-select rounds) instead of pre-filtering every draw — the reference's
+# in-place redraw (`_rankfm.pyx:249-252`) at ~density^3 residual-pollution
+# fidelity, without any [B, M] membership gather. Module-level so probes
+# and tests can pin either branch.
+POST_REJECT_DENSITY = 0.02
+
+
 def _on_tpu():
     """True when the default backend is TPU hardware (incl. tunneled
     platforms like 'axon' that expose TPU devices)."""
@@ -714,7 +723,7 @@ class RankFM:
             # fit_partial unions histories, and a cached epoch_fn from a
             # sparser past must not outlive the threshold crossing.
             density = len(self._ui_items) / max(U * num_items, 1)
-            post_reject = density < 0.02
+            post_reject = density < POST_REJECT_DENSITY
             # len(_ui_items) keys the hist['flat'] SHAPE: fit_partial's
             # history union grows it, and an AOT-cached executable replayed
             # with a differently-shaped operand is a crash, not a retrace
