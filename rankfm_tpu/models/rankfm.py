@@ -780,7 +780,8 @@ class RankFM:
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs_x,
                       n_pad, self._sampler, self.mesh is not None, step_kind,
                       self.dp_sync_every, post_reject, len(self._ui_items),
-                      mrl, tuple(v.shape for v in self._weights.values()))
+                      mrl, self.sample_rounds,
+                      tuple(v.shape for v in self._weights.values()))
             if self._epoch_fn is None or self._epoch_fn_key != fn_key:
                 if self.mesh is not None:
                     from rankfm_tpu.parallel.train import (

@@ -465,6 +465,23 @@ def test_recommend_preserves_big_int64_ids():
     assert rec_ids <= {base + 1, base + 3, base + 5}, rec_ids
 
 
+def test_sample_rounds_participates_in_epoch_program_key():
+    """sample_rounds changes the compiled program's content (rejection
+    redraw depth) — it must participate in the epoch-fn/AOT key, or a
+    changed setting silently replays the old executable (found round 3:
+    three A/B probes returned bitwise-identical results because of this)"""
+    rng = np.random.default_rng(5)
+    inter = np.stack([rng.integers(0, 30, 800), rng.integers(0, 25, 800)], 1)
+    keys = []
+    for rounds in (8, 2):
+        m = RankFM(factors=4, loss="warp", max_samples=4, batch_size=256,
+                   use_fused=False, train_step="candidate",
+                   sample_rounds=rounds)
+        m.fit(inter, epochs=1)
+        keys.append(m._epoch_fn_key)
+    assert keys[0] != keys[1]
+
+
 def test_divergence_aborts_early_not_at_fit_end():
     """a diverging fit must raise at (near) the first non-finite epoch —
     the reference's per-epoch assert_finite (`_rankfm.pyx:328-329`) — not
