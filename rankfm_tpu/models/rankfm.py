@@ -89,7 +89,7 @@ class RankFM:
     def __init__(self, factors=10, loss='bpr', max_samples=10, alpha=0.01, beta=0.1,
                  sigma=0.1, learning_rate=0.1, learning_schedule='constant',
                  learning_exponent=0.25, *, batch_size=None, seed=1492,
-                 sample_rounds=8, neg_sampler='auto', use_fused='auto',
+                 sample_rounds='auto', neg_sampler='auto', use_fused='auto',
                  train_step='auto', n_windows=None, tail_windows=None,
                  mesh=None, dp_sync_every=1):
         """store hyperparameters and initialize internal model state
@@ -111,7 +111,13 @@ class RankFM:
             stability-capped power of two <= 8192 on the XLA steps)
         :param seed: base PRNG seed for negative sampling / epoch shuffling
             (the reference hard-codes MT19937 seed 1492, `_rankfm.pyx:182`)
-        :param sample_rounds: rejection re-draw rounds for negative sampling
+        :param sample_rounds: rejection re-draw rounds for the candidate
+            step's negative sampling: an int, or 'auto' (default) — the
+            smallest R with residual member-slot probability density^R
+            below 1e-6, clipped to [2, 8]. Residual slots are MASKED out
+            of the loss (never trained on), so fewer rounds at sparse
+            densities is exact; each round costs a [B, M] membership pass
+            (~1.2 ms/batch at ML-1M shape)
         :param neg_sampler: membership strategy for negative rejection:
             'bitmap' (packed-row gather, fastest), 'bsearch' (CSR binary
             search, scales to huge catalogs), or 'auto' (bitmap when the
@@ -175,6 +181,9 @@ class RankFM:
 
         assert neg_sampler in ('auto', 'bitmap', 'bsearch'), \
             "[neg_sampler] must be in ('auto', 'bitmap', 'bsearch')"
+        assert sample_rounds == 'auto' or (
+            isinstance(sample_rounds, int) and sample_rounds >= 1), \
+            "[sample_rounds] must be 'auto' or a positive integer"
         assert use_fused in (True, False, 'auto'), \
             "[use_fused] must be in (True, False, 'auto')"
         assert train_step in ('auto', 'window', 'candidate', 'mixed'), \
@@ -724,6 +733,17 @@ class RankFM:
             # sparser past must not outlive the threshold crossing.
             density = len(self._ui_items) / max(U * num_items, 1)
             post_reject = density < POST_REJECT_DENSITY
+            if self.sample_rounds == 'auto':
+                # smallest R with residual member-slot probability
+                # density^R < 1e-6 (residual slots are MASKED out of the
+                # loss, so this is a coverage knob, not a correctness one);
+                # each round costs a [B, M] membership pass — the dominant
+                # candidate-step cost at ML-1M density, measured ~1.2 ms
+                # per batch per round (tools/probe_postreject.py notes)
+                rounds = int(np.clip(np.ceil(
+                    -6.0 / np.log10(np.clip(density, 1e-12, 0.99))), 2, 8))
+            else:
+                rounds = self.sample_rounds
             # len(_ui_items) keys the hist['flat'] SHAPE: fit_partial's
             # history union grows it, and an AOT-cached executable replayed
             # with a differently-shaped operand is a crash, not a retrace
@@ -744,7 +764,7 @@ class RankFM:
                     from rankfm_tpu.parallel import tp as tp_mod
                     fn = tp_mod.tp_epoch_fn(
                         self.mesh, num_items, max_samples, x_uf_any,
-                        x_if_any, bs_x, sample_rounds=self.sample_rounds,
+                        x_if_any, bs_x, sample_rounds=rounds,
                         max_row_len=mrl, post_reject=post_reject,
                         step_kind=step_kind)
                     w_tp, xu_tp, xi_tp = tp_mod.pad_and_place(
@@ -780,7 +800,7 @@ class RankFM:
             fn_key = (num_items, max_samples, x_uf_any, x_if_any, bs_x,
                       n_pad, self._sampler, self.mesh is not None, step_kind,
                       self.dp_sync_every, post_reject, len(self._ui_items),
-                      mrl, self.sample_rounds,
+                      mrl, rounds,
                       tuple(v.shape for v in self._weights.values()))
             if self._epoch_fn is None or self._epoch_fn_key != fn_key:
                 if self.mesh is not None:
@@ -791,7 +811,7 @@ class RankFM:
                                  for v in self._weights.values())
                     self._epoch_fn = make_sharded_epoch_fn(
                         self.mesh, num_items, max_samples, x_uf_any, x_if_any,
-                        bs_x, sample_rounds=self.sample_rounds,
+                        bs_x, sample_rounds=rounds,
                         sampler=self._sampler, step_kind=step_kind,
                         table_bytes=tbytes,
                         dp_sync_every=self.dp_sync_every,
@@ -810,7 +830,7 @@ class RankFM:
                     # to .at[].add scatters for very wide models
                     self._epoch_fn = make_epoch_fn(
                         num_items, max_samples, x_uf_any, x_if_any, bs_x,
-                        sample_rounds=self.sample_rounds, sampler=self._sampler,
+                        sample_rounds=rounds, sampler=self._sampler,
                         pallas_scatter=_on_tpu() and F <= 126,
                         step_kind=step_kind,
                         post_reject=post_reject, max_row_len=mrl,
