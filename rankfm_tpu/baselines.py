@@ -45,6 +45,30 @@ def _csr_transpose(offsets, items, counts_vals, num_cols):
     return new_offsets, new_items, new_vals
 
 
+def _pad_chunks(offsets, items, conf, n_rows, B=512):
+    """Vectorized once-per-fit chunking of a CSR side into padded
+    ``(idx [b, L], conf [b, L])`` device arrays; ``L`` rounds to the next
+    power of two so each distinct solve shape compiles once (unbucketed
+    Instacart chunks compiled ~60 distinct programs, ~2 min of warmup)."""
+    lens = np.diff(offsets).astype(np.int64)
+    chunks = []
+    for s in range(0, n_rows, B):
+        e = min(s + B, n_rows)
+        l = lens[s:e]
+        lmax = max(int(l.max()) if e > s else 1, 1)
+        L = 1 << (lmax - 1).bit_length()
+        idx = np.zeros((e - s, L), dtype=np.int32)
+        cf = np.zeros((e - s, L), dtype=np.float32)
+        if l.sum():
+            rows = np.repeat(np.arange(e - s), l)
+            cols = np.arange(l.sum()) - np.repeat(np.cumsum(l) - l, l)
+            span = slice(int(offsets[s]), int(offsets[e]))
+            idx[rows, cols] = items[span]
+            cf[rows, cols] = conf[span]
+        chunks.append((jnp.asarray(idx), jnp.asarray(cf)))
+    return chunks
+
+
 @jax.jit
 def _solve_chunk(Y, YtY_reg, hist_idx, conf):
     """One ALS half-step for a chunk of rows.
@@ -107,35 +131,22 @@ class ImplicitALS:
         Y = jnp.asarray(rng.normal(0, 0.01, (I, F)).astype(np.float32))
         sweeps = epochs if epochs is not None else self.iterations
         eye = self.regularization * jnp.eye(F, dtype=jnp.float32)
+        # padded history chunks are sweep-invariant: build them ONCE per
+        # side (vectorized) instead of a per-row Python loop per sweep
+        u_chunks = _pad_chunks(u_off, u_items, u_conf, U)
+        i_chunks = _pad_chunks(i_off, i_rows, i_conf, I)
         for _ in range(sweeps):
-            X = self._half_step(Y, u_off, u_items, u_conf, U, eye)
-            Y = self._half_step(X, i_off, i_rows, i_conf, I, eye)
+            X = self._half_step(Y, u_chunks, U, eye)
+            Y = self._half_step(X, i_chunks, I, eye)
         self.user_factors = np.asarray(X)
         self.item_factors = np.asarray(Y)
         self.is_fit = True
         return self
 
-    def _half_step(self, Y, offsets, items, conf, n_rows, eye):
-        lens = np.diff(offsets)
+    def _half_step(self, Y, chunks, n_rows, eye):
         YtY = jnp.dot(Y.T, Y, preferred_element_type=jnp.float32) + eye
-        out = np.empty((n_rows, self.factors), dtype=np.float32)
-        B = 512
-        for s in range(0, n_rows, B):
-            e = min(s + B, n_rows)
-            L = max(int(lens[s:e].max()) if e > s else 1, 1)
-            # pow2 pad bucket: each distinct (B, L) is a fresh jit
-            # specialization of the batched solve — unbucketed Instacart
-            # chunks compiled ~60 distinct programs (~2 min of warmup)
-            L = 1 << (L - 1).bit_length()
-            idx = np.zeros((e - s, L), dtype=np.int32)
-            cf = np.zeros((e - s, L), dtype=np.float32)
-            for r in range(s, e):
-                a, b = int(offsets[r]), int(offsets[r + 1])
-                idx[r - s, :b - a] = items[a:b]
-                cf[r - s, :b - a] = conf[a:b]
-            out[s:e] = np.asarray(_solve_chunk(
-                Y, YtY, jnp.asarray(idx), jnp.asarray(cf)))
-        return jnp.asarray(out)
+        outs = [_solve_chunk(Y, YtY, idx, cf) for idx, cf in chunks]
+        return jnp.concatenate(outs, axis=0)[:n_rows]
 
     def recommend(self, users, n_items=10, filter_previous=False,
                   cold_start="nan"):
