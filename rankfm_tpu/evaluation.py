@@ -35,9 +35,18 @@ def _recs_and_hits(model, test_interactions, k, filter_previous):
     assert model.is_fit, "you must fit the model prior to evaluating hold-out metrics"
     test_user_items = _test_user_items(test_interactions)
     test_users = list(test_user_items.keys())
+    # cold_start='nan' + drop only ALL-NaN rows, NOT the reference's
+    # cold_start='drop': this package defines exhausted filter_previous
+    # slots as NaN (the reference returns uninitialized memory there,
+    # `_rankfm.pyx:448-456`), so a row-wise dropna would silently remove
+    # KNOWN users with fewer than k unseen items from the metric. Unknown
+    # users produce all-NaN rows — dropping exactly those matches the
+    # reference's user coverage; partial NaN slots count as misses.
     test_recs = model.recommend(
-        users=test_users, n_items=k, filter_previous=filter_previous, cold_start="drop"
+        users=test_users, n_items=k, filter_previous=filter_previous,
+        cold_start="nan"
     )
+    test_recs = test_recs[~test_recs.isna().all(axis=1).values]
     comm_users = test_recs.index.values
     rec_np = test_recs.to_numpy()          # rows align with comm_users
     # recommend clamps its column count to the catalog size, so reshape to

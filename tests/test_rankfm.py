@@ -465,6 +465,56 @@ def test_recommend_preserves_big_int64_ids():
     assert rec_ids <= {base + 1, base + 3, base + 5}, rec_ids
 
 
+def test_evaluation_vectorized_membership_string_ids_and_nan_cells():
+    """the searchsorted membership must reproduce Python-set semantics for
+    STRING ids, including NaN cells from filter_previous exhaustion (both
+    flow through the shared pandas vocabulary)"""
+    from rankfm_tpu import evaluation
+
+    items = [f"it{k}" for k in range(10)]
+    # user A sees 8 of 10 items -> filtered recs get NaN slots
+    inter = pd.DataFrame({
+        "u": ["A"] * 8 + ["B", "B"],
+        "i": items[:8] + [items[8], items[9]],
+    })
+    m = RankFM(factors=2, seed=3)
+    m.fit(inter, epochs=1)
+    test = pd.DataFrame({"u": ["A", "A", "B"],
+                         "i": [items[8], items[9], items[0]]})
+    out = evaluation.compute(m, test, k=5, filter_previous=True)
+    # oracle by hand: A's only unseen items are it8/it9 -> both recommended
+    # -> A hits; B's recs exclude it8/it9 -> whether B hits depends on model
+    recs = m.recommend(["A", "B"], n_items=5, filter_previous=True,
+                       cold_start="nan")
+    a_hits = {"it8", "it9"} & set(
+        x for x in recs.loc["A"].dropna().values)
+    assert a_hits == {"it8", "it9"}
+    b_hit = "it0" in set(x for x in recs.loc["B"].dropna().values)
+    assert out["hit_rate"] == pytest.approx((1.0 + float(b_hit)) / 2)
+    # recall denominators per user: A has 2 relevant, B has 1
+    assert out["recall"] == pytest.approx((2 / 2 + float(b_hit) / 1) / 2)
+
+
+def test_auto_sample_rounds_resolution():
+    """'auto' resolves the smallest R with density^R < 1e-6, clipped [2,8]
+    — pinned via the epoch-program key (rounds is its 14th entry)"""
+    rng = np.random.default_rng(5)
+    # ~50% density fixture -> rounds clipped to 8
+    inter = np.stack([rng.integers(0, 12, 400), rng.integers(0, 12, 400)], 1)
+    m = RankFM(factors=2, batch_size=128, use_fused=False,
+               train_step="candidate")
+    m.fit(inter, epochs=1)
+    dense_rounds = m._epoch_fn_key[13]
+    assert dense_rounds == 8, m._epoch_fn_key
+    # sparse fixture (~1% density) -> 3 rounds
+    inter = np.stack([rng.integers(0, 300, 3000),
+                      rng.integers(0, 1000, 3000)], 1)
+    m2 = RankFM(factors=2, batch_size=1024, use_fused=False,
+                train_step="candidate")
+    m2.fit(inter, epochs=1)
+    assert 2 <= m2._epoch_fn_key[13] < dense_rounds, m2._epoch_fn_key
+
+
 def test_sample_rounds_participates_in_epoch_program_key():
     """sample_rounds changes the compiled program's content (rejection
     redraw depth) — it must participate in the epoch-fn/AOT key, or a
