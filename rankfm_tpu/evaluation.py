@@ -25,6 +25,7 @@ def _test_user_items(test_interactions):
 
 def _recs_and_hits(model, test_interactions, k, filter_previous):
     """common core: top-k recs for test users + per-user hit mask [n_users, k]
+    (plus the recs themselves, which `diversity` aggregates instead of hits)
 
     Membership is fully vectorized: test pairs and recommendation cells are
     encoded as (user-row, item-code) int64 keys over a shared item
@@ -113,19 +114,41 @@ _AGGREGATORS = {
 }
 
 
+def _agg_diversity(model, test_recs, comm):
+    """vectorized diversity aggregation (`evaluation.py:146-175` semantics):
+    one `value_counts` over the flattened rec cells (NaN cells from exhausted
+    filter_previous catalogs simply count nowhere), reindexed to the FULL
+    training catalog, sorted by user count descending."""
+    rec_flat = pd.Series(test_recs.to_numpy().ravel()).dropna()
+    user_counts = (
+        rec_flat.value_counts()
+        .reindex(model.item_id.values, fill_value=0)
+        .rename_axis("item_id")
+        .to_frame("cnt_users")
+        .sort_values("cnt_users", ascending=False)
+        .reset_index()
+    )
+    user_counts["pct_users"] = user_counts["cnt_users"] / len(comm)
+    return user_counts
+
+
 def compute(model, test_interactions, metrics=None, k=10, filter_previous=False):
     """Evaluate several ranking metrics off ONE shared retrieval pass.
 
-    ``metrics`` is an iterable of metric names (default: all five); returns a
-    ``{name: value}`` dict. Identical definitions to the standalone functions
-    (and the reference's `evaluation.py:9-143`), but the expensive
-    `model.recommend` call runs once instead of once per metric.
+    ``metrics`` is an iterable of metric names (default: the five scalar
+    metrics); returns a ``{name: value}`` dict. Identical definitions to the
+    standalone functions (and the reference's `evaluation.py:9-175`), but the
+    expensive `model.recommend` call runs once instead of once per metric.
+    ``"diversity"`` may be requested too — its value is the per-item user
+    count DataFrame rather than a scalar.
     """
     metrics = tuple(_AGGREGATORS) if metrics is None else tuple(metrics)
-    unknown = [m for m in metrics if m not in _AGGREGATORS]
-    assert not unknown, f"unknown metrics {unknown}; choose from {sorted(_AGGREGATORS)}"
-    _, comm, hits, tui = _recs_and_hits(model, test_interactions, k, filter_previous)
-    return {m: _AGGREGATORS[m](comm, hits, tui) for m in metrics}
+    known = set(_AGGREGATORS) | {"diversity"}
+    unknown = [m for m in metrics if m not in known]
+    assert not unknown, f"unknown metrics {unknown}; choose from {sorted(known)}"
+    recs, comm, hits, tui = _recs_and_hits(model, test_interactions, k, filter_previous)
+    return {m: _agg_diversity(model, recs, comm) if m == "diversity"
+            else _AGGREGATORS[m](comm, hits, tui) for m in metrics}
 
 
 def hit_rate(model, test_interactions, k=10, filter_previous=False):
@@ -162,22 +185,8 @@ def recall(model, test_interactions, k=10, filter_previous=False):
 
 
 def diversity(model, test_interactions, k=10, filter_previous=False):
-    """cnt/pct of users recommended each unique item (`evaluation.py:146-175`)"""
-    assert model.is_fit, "you must fit the model prior to evaluating hold-out metrics"
-    df = pd.DataFrame(get_data(test_interactions), columns=["user_id", "item_id"])
-    test_users = df["user_id"].unique()
-    test_recs = model.recommend(
-        users=test_users, n_items=k, filter_previous=filter_previous, cold_start="drop"
-    )
-    comm_users = test_recs.index.values
-
-    test_recs = test_recs.stack().reset_index().drop("level_1", axis=1)
-    test_recs.columns = ["user_id", "item_id"]
-    user_counts = test_recs.groupby("item_id")["user_id"].count().to_frame("cnt_users")
-    user_counts = (
-        user_counts.reindex(model.item_id.values, fill_value=0)
-        .sort_values("cnt_users", ascending=False)
-        .reset_index()
-    )
-    user_counts["pct_users"] = user_counts["cnt_users"] / len(comm_users)
-    return user_counts
+    """cnt/pct of users recommended each unique item (`evaluation.py:146-175`);
+    shares the retrieval pass and vectorized aggregation with :func:`compute`
+    (pre-round-4 this ran its own `recommend` + a pandas stack/groupby)"""
+    return compute(model, test_interactions, ("diversity",), k,
+                   filter_previous)["diversity"]

@@ -3,6 +3,12 @@
 feature matrices, id maps, interaction history CSR, and hyperparameters to a
 single ``.npz`` so a fitted model can be restored (and `fit_partial` resumed)
 in a fresh process.
+
+The payload is pickle-free by construction: numeric arrays, fixed-width
+unicode arrays (string ids, JSON blobs) — nothing with object dtype — so
+``load_model`` reads with ``allow_pickle=False`` and an untrusted checkpoint
+cannot execute code. Checkpoints written before round 4 stored string ids as
+object arrays; load those with the explicit ``allow_pickle=True`` opt-in.
 """
 
 from __future__ import annotations
@@ -21,17 +27,34 @@ _HYPERS = ("factors", "loss", "max_samples", "alpha", "beta", "sigma",
            "train_step", "n_windows", "tail_windows", "dp_sync_every")
 
 
+def _id_array(vals, kind):
+    """Coerce an id vocabulary to a pickle-free dtype. Integer/float/unicode
+    arrays pass through; object arrays of str (what pandas produces for
+    string id columns) become fixed-width unicode. Anything else cannot
+    round-trip without pickle — refuse loudly rather than write a
+    pickle-bearing payload."""
+    arr = np.asarray(vals)
+    if arr.dtype.kind != "O":
+        return arr
+    if all(isinstance(v, str) for v in arr.tolist()):
+        return arr.astype(str)
+    raise TypeError(
+        f"[{kind}] ids must be int or str to checkpoint without pickle "
+        f"(got object values like {arr[:1].tolist()!r})")
+
+
 def save_model(model, path):
     assert model.is_fit, "you must fit the model prior to saving it"
     payload = {f"weights/{k}": np.asarray(model._weights[k]) for k in _WEIGHT_KEYS}
     payload["x_uf"] = model.x_uf
     payload["x_if"] = model.x_if
-    payload["user_id"] = model.user_id.values
-    payload["item_id"] = model.item_id.values
+    payload["user_id"] = _id_array(model.user_id.values, "user")
+    payload["item_id"] = _id_array(model.item_id.values, "item")
     payload["ui_offsets"] = model._ui_offsets
     payload["ui_items"] = model._ui_items
     payload["interactions"] = model.interactions
     payload["sample_weight"] = model.sample_weight
+    # JSON blobs ride as 0-d unicode arrays ('<U*' dtype — no pickle needed)
     payload["hyper_json"] = np.array(
         json.dumps({k: getattr(model, k) for k in _HYPERS})
     )
@@ -42,7 +65,7 @@ def save_model(model, path):
     np.savez(path, **payload)
 
 
-def load_model(cls, path):
+def load_model(cls, path, allow_pickle=False):
     import os
 
     import pandas as pd
@@ -50,7 +73,7 @@ def load_model(cls, path):
     # np.savez appends ".npz" to extension-less paths; accept either spelling
     if not os.path.exists(path) and os.path.exists(str(path) + ".npz"):
         path = str(path) + ".npz"
-    data = np.load(path, allow_pickle=True)
+    data = np.load(path, allow_pickle=allow_pickle)
     hyper = json.loads(str(data["hyper_json"]))
     positional = ("factors", "loss", "max_samples", "alpha", "beta", "sigma",
                   "learning_rate", "learning_schedule", "learning_exponent")
