@@ -80,14 +80,39 @@ def main():
     # warmup: compile + first epoch. The AOT executable cache
     # (rankfm_tpu.utils.aotcache) skips the ~70 s fused-program compile
     # when a prior process stored the executable; report per-program
-    # hit/miss telemetry so a cold-vs-warm regression is visible here.
+    # hit/miss telemetry AND a wall-clock decomposition so the artifact
+    # itself distinguishes a genuine cache miss from remote-pool queueing
+    # (VERDICT r3 #1: BENCH_r03 recorded warmup_s=439 with an AOT hit —
+    # indistinguishable, in the artifact, from a broken cache).
     from rankfm_tpu.utils import aotcache
+    import jax.numpy as jnp
+
+    # backend-init + ping: one trivial op round trip BEFORE any model work.
+    # This is pure tunnel/pool/runtime latency — nothing of ours compiles
+    # or transfers — so a large value here proves congestion unaided.
+    t0 = time.time()
+    jax.block_until_ready(jnp.zeros(8) + 1.0)
+    ping = time.time() - t0
+
     t0 = time.time()
     model.fit(inter, epochs=1)
     warm = time.time() - t0
+    st = aotcache.stats()
+    deser_s = sum(v["deser_s"] for v in st.values())
+    compile_s = sum(v["compile_s"] for v in st.values())
     aot_state = ",".join(
         f"{tag}:{v['disk_hits']}h/{v['compiles']}c"
-        for tag, v in sorted(aotcache.stats().items())) or "unused"
+        for tag, v in sorted(st.items())) or "unused"
+    # remainder = host ingest/layout + device transfer + server queue +
+    # first execute. With deser+compile ~0 and a small ping, a large
+    # remainder is queue/transfer by elimination; a large PING already
+    # proves pool congestion directly.
+    warm_detail = {
+        "ping_s": round(ping, 1),
+        "aot_deser_s": round(deser_s, 1),
+        "compile_s": round(compile_s, 1),
+        "ingest_queue_exec_s": round(max(warm - deser_s - compile_s, 0.0), 1),
+    }
 
     # steady state: time EPOCHS epochs through the public API; best of three
     # runs (the shared-TPU link shows >10% run-to-run noise)
@@ -104,10 +129,12 @@ def main():
         "unit": "interactions/s",
         "vs_baseline": round(examples_per_s / BASELINE_EXAMPLES_PER_S, 2),
         "warmup_s": round(warm, 1),
+        "warmup_detail": warm_detail,
         "aot": aot_state,
     }
     print(json.dumps(result))
     print(f"# n={n} epochs={EPOCHS} elapsed={elapsed:.2f}s warmup(fit+compile)={warm:.1f}s "
+          f"ping={ping:.1f}s deser={deser_s:.1f}s compile={compile_s:.1f}s "
           f"aot_cache={aot_state} device={jax.devices()[0].platform}",
           file=sys.stderr)
 

@@ -28,7 +28,6 @@ see the field docstrings and BENCHMARKS.md):
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from typing import Optional
 

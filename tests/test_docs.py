@@ -29,8 +29,10 @@ def test_generated_reference_is_current():
 def test_generated_notebooks_are_current_and_each_cell_parses():
     """examples/*.ipynb are generated from the example scripts
     (`tools/gen_notebooks.py` — the notebook-form counterpart of the
-    reference's examples/*.ipynb); they must match the scripts and every
-    code cell must parse standalone."""
+    reference's examples/*.ipynb); their STRUCTURE (code cells) must match
+    the scripts and every code cell must parse standalone. Outputs are
+    ignored here: executed notebooks commit their cell outputs as evidence
+    (regenerate with `python tools/gen_notebooks.py --execute`)."""
     import ast
     import json
 
@@ -42,7 +44,7 @@ def test_generated_notebooks_are_current_and_each_cell_parses():
         out = os.path.join(REPO, "examples", f"{name}.ipynb")
         with open(out) as fh:
             on_disk = json.load(fh)
-        assert on_disk == gen.generate(name), (
+        assert gen.strip_outputs(on_disk) == gen.generate(name), (
             f"examples/{name}.ipynb is stale — run "
             "`python tools/gen_notebooks.py`")
         for c in on_disk["cells"]:

@@ -116,16 +116,76 @@ def generate(name):
     return _nb(doc, cells, name.replace("_", " "))
 
 
+def strip_outputs(nb):
+    """Structural form of a notebook: outputs/execution counts removed.
+    The currency test compares THIS form, so executed notebooks (cell
+    outputs committed as evidence, like the reference's examples) stay
+    'current' as long as their code cells match the scripts."""
+    import copy
+
+    nb = copy.deepcopy(nb)
+    # execution enriches notebook-level metadata (kernel version, pygments
+    # lexer, ...) and stamps cell ids — none of it is structure
+    nb["metadata"] = {
+        "kernelspec": {"display_name": "Python 3",
+                       "language": "python", "name": "python3"},
+        "language_info": {"name": "python"},
+    }
+    for c in nb["cells"]:
+        # normalize source to a list of lines (nbformat round-trips may
+        # store it as one string)
+        if isinstance(c.get("source"), str):
+            c["source"] = c["source"].splitlines(keepends=True)
+        c.pop("id", None)
+        if c["cell_type"] == "code":
+            c["outputs"] = []
+            c["execution_count"] = None
+            c.get("metadata", {}).pop("execution", None)
+    return nb
+
+
+def execute(nb, timeout=3600):
+    """Run the notebook top-to-bottom (cwd=repo root) and return it with
+    real cell outputs — the executed-evidence form the reference's
+    notebooks carry (`/root/reference/examples/movielens.ipynb`)."""
+    import nbformat
+    from nbclient import NotebookClient
+
+    node = nbformat.from_dict(nb)
+    for c in node.cells:  # nbclient expects one source string per cell
+        if isinstance(c.source, list):
+            c.source = "".join(c.source)
+    client = NotebookClient(node, timeout=timeout, kernel_name="python3",
+                            resources={"metadata": {"path": REPO}})
+    client.execute()
+    return json.loads(nbformat.writes(node))
+
+
 def main():
-    for name in EXAMPLES:
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] or EXAMPLES
+    for name in names:
         nb = generate(name)
         out = os.path.join(REPO, "examples", f"{name}.ipynb")
         if "--check" in sys.argv:
             with open(out) as fh:
-                if json.load(fh) != nb:
+                if strip_outputs(json.load(fh)) != nb:
                     sys.stderr.write(f"{out} is stale\n")
                     sys.exit(1)
             continue
+        if "--execute" in sys.argv:
+            print(f"executing {name}...", flush=True)
+            nb = execute(nb)
+        else:
+            # keep committed outputs when only regenerating: if the on-disk
+            # notebook already matches the script structurally, leave its
+            # executed outputs in place
+            try:
+                with open(out) as fh:
+                    on_disk = json.load(fh)
+                if strip_outputs(on_disk) == nb:
+                    continue
+            except (OSError, json.JSONDecodeError):
+                pass
         with open(out, "w") as fh:
             json.dump(nb, fh, indent=1)
         n_code = sum(1 for c in nb["cells"] if c["cell_type"] == "code")

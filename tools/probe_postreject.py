@@ -1,6 +1,6 @@
 """A/B: candidate-step membership strategy at ML-1M-class history DENSITY.
 
-Below `models.rankfm.POST_REJECT_DENSITY` the candidate step tests
+Below `models.planner.POST_REJECT_DENSITY` the candidate step tests
 membership of only the SELECTED negative post-hoc (cheap); above it, every
 draw is pre-filtered (8 bitmap rounds — the dominant candidate-step cost at
 ML-1M shape). The reference's own in-place redraw makes pre-filtering the
@@ -34,7 +34,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 from rankfm_tpu import RankFM, evaluation  # noqa: E402
-from rankfm_tpu.models import rankfm as model_mod  # noqa: E402
+from rankfm_tpu.models import planner as model_mod  # noqa: E402
 from parity_common import make_latent_dataset, oracle_metrics  # noqa: E402
 
 METRICS = ("hit_rate", "reciprocal_rank", "discounted_cumulative_gain",
