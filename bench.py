@@ -114,10 +114,10 @@ def main():
         "ingest_queue_exec_s": round(max(warm - deser_s - compile_s, 0.0), 1),
     }
 
-    # steady state: time EPOCHS epochs through the public API; best of three
+    # steady state: time EPOCHS epochs through the public API; best of five
     # runs (the shared-TPU link shows >10% run-to-run noise)
     elapsed = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         model.fit_partial(inter, epochs=EPOCHS)
         elapsed = min(elapsed, time.time() - t0)

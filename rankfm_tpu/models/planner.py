@@ -69,6 +69,7 @@ class FitSpec:
     n_windows: Optional[int] = None
     tail_windows: Optional[int] = None
     sample_rounds: object = "auto"
+    shuffle_layouts: object = "auto"
 
 
 @dataclass(frozen=True)
@@ -85,6 +86,9 @@ class FitPlan:
     table_bf16: bool          # stochastically-rounded bf16 VMEM tables
     batch_size: int           # fused global batch (scan granularity)
     chunk: int                # fused chunk rows (negative-window unit)
+    user_block: int           # fused user-bucket rows (pure layout; 0 = n/a)
+    shuffle_layouts: int      # pre-computed epoch layouts cycled (1 = sort
+                              # per epoch); see fused.make_shuffle_fn
     n_windows: Optional[int]  # per-chunk window override (None = default)
     # epoch split (mixed schedule)
     n_main: int               # epochs on the main engine
@@ -181,6 +185,24 @@ def plan_fit(spec: FitSpec) -> FitPlan:
     # fused chunk (the negative-window sharing unit) and window override
     chunk = fused_mod.pick_chunk(max(bs // n_dev, 128), U, I, spec.n) \
         if fused else 0
+    ub = fused_mod.pick_user_block(U, I, spec.n, chunk) if fused else 0
+    # R pre-computed shuffled layouts cycled across epochs amortize the
+    # per-epoch segmented sort (~3 ms of the 26 ms ML-1M epoch; R fits in
+    # R x 6 MB HBM). Windows, negative draws, and the chunk visit
+    # rotation stay per-epoch fresh — only chunk co-membership recurs,
+    # every R epochs. Oracle-gated like every fused sampling change.
+    # NOT clamped to epochs: R is part of the compiled program identity
+    # (pre-shuffled vs sort-per-epoch), and auto must resolve the same way
+    # for a 1-epoch warmup fit and the 20-epoch production fit so they
+    # share one executable; unused layouts are never materialized (built
+    # lazily per cycling index). Auto stays at 1 — the ML-1M oracle A/B
+    # measured R=4 slightly OUTSIDE the round-3 quality band (worst-seed
+    # -0.013 HR / -0.027 DCG vs -0.009 / -0.020 at R=1) with no reliable
+    # wall-clock win on the shared pool, so cycling is opt-in.
+    if not fused or spec.shuffle_layouts == "auto":
+        shuffle_layouts = 1
+    else:
+        shuffle_layouts = max(1, int(spec.shuffle_layouts))
     table_bf16 = fused_mod.TABLE_BF16 or table_mode == "bf16"
     nw_main = None
     if fused and spec.n_windows is not None:
@@ -258,7 +280,8 @@ def plan_fit(spec: FitSpec) -> FitPlan:
     return FitPlan(
         max_samples=max_samples, n_dev=n_dev, nblk=nblk,
         fused=fused, table_mode=table_mode, table_bf16=table_bf16,
-        batch_size=bs, chunk=chunk, n_windows=nw_main,
+        batch_size=bs, chunk=chunk, user_block=ub,
+        shuffle_layouts=shuffle_layouts, n_windows=nw_main,
         n_main=spec.epochs - n_tail, n_tail=n_tail, tail_windows=nw_tail,
         xla_batch=bs_x, step_kind=step_kind, placement=placement,
         rounds=rounds, post_reject=post_reject,

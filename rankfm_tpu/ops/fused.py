@@ -83,25 +83,47 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-UBLK = 1024  # user-bucket size: each chunk's rows share one user block
+UBLK = 1024  # default user-bucket cap; see pick_user_block
 
 
-def user_block(num_users):
+def user_block(num_users, ub=None):
     """User-block size: the whole (guarded) table when it is small, else
-    1024 — chunks are then bucketed so each touches ONE block and the
-    user-side one-hot matmuls contract over UB rows instead of U_pad."""
-    return min(UBLK, _round_up(num_users + 1, 8))
+    the ``ub`` cap — chunks are then bucketed so each touches ONE block and
+    the user-side one-hot matmuls contract over UB rows instead of U_pad."""
+    return min(UBLK if ub is None else ub, _round_up(num_users + 1, 8))
 
 
-def user_pad(num_users):
+def user_pad(num_users, ub=None):
     """User-table padding: at least one spare GUARD row, rounded to a whole
     number of user blocks."""
-    ub = user_block(num_users)
-    return _round_up(num_users + 1, ub)
+    return _round_up(num_users + 1, user_block(num_users, ub))
 
 
-def num_user_blocks(num_users):
-    return user_pad(num_users) // user_block(num_users)
+def num_user_blocks(num_users, ub=None):
+    return user_pad(num_users, ub) // user_block(num_users, ub)
+
+
+def pick_user_block(num_users, num_items, n, chunk):
+    """Fused-kernel user-block rows (UB) for a fit: 1024.
+
+    UB sets the contraction length of the user-side one-hot matmuls and
+    the extent of the per-chunk user-table read-modify-write, and
+    narrower IS faster — measured ML-1M epochs of 26.2 / 25.3 / 24.2 /
+    24.7 ms at UB 1024 / 512 / 256 / 128 (round 4, 10-epoch pipelined).
+
+    NEGATIVE RESULT (round 4, tools/probe_chunk_quality.py vs the C++
+    sequential oracle): UB is NOT quality-neutral. Narrow blocks cluster
+    each user's rows into fewer chunks, so more of a user's updates apply
+    at the SAME stale weights — the same correlation mechanism that ruled
+    out the 512-row chunk in round 3. Worst-seed deltas at the ML-1M
+    headline: chunk256@UB256 −0.027 HR / −0.070 DCG (vs −0.010 / −0.021
+    at UB1024); chunk512@UB256 −0.054 / −0.111. The flip side, for future
+    tuning: chunk128@UB256 reaches ORACLE PARITY (−0.002 HR / −0.005 DCG)
+    at 47x — a better quality-per-throughput point than chunk128@UB1024
+    (42x) — so quality tracks rows-per-(chunk x user-band), not either
+    knob alone. The default stays at the round-3-validated 1024; override
+    via this hook only with fresh oracle gates."""
+    return UBLK
 
 
 def block_size(num_items):
@@ -400,13 +422,19 @@ def pad_feature_cols(x, rows_pad, bf16=False):
     return out.astype(jnp.bfloat16) if bf16 else out
 
 
-def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
-    """Fit-time epoch layout: pack the RAW interaction columns into int32
-    ``[u, i, bits(sw), bits(valid)]`` records GROUPED by (user block, item
+def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk,
+                         ub=None):
+    """Fit-time epoch layout: pack each interaction into ONE int32
+    ``p0 = u_local | (i_local+1) << 10 | valid << 21`` (u_local/i_local are
+    the indices WITHIN the row's user/item block; i_local+1 = 0 marks a
+    guard) plus the sample-weight bits, GROUPED by (user block, item
     block), with each group's run padded to whole chunks (and the tail to
-    whole batches) by invalid guard records.
+    whole batches) by invalid guard records. The 2-column record (round 4;
+    was 4 columns of absolute indices) halves the per-epoch segmented-
+    shuffle sort's payload traffic — the sort is ~17% of the ML-1M epoch —
+    and the kernel's one-hots compare block-local indices directly.
 
-    Returns ``(rec [n_pad, 4], group [n_pad], chunkids [nb, nT],
+    Returns ``(rec [n_pad, 2], group [n_pad], chunkids [nb, nT],
     ublk [nb, nT], iblk [nb, nT])`` where ``group`` is each slot's (user
     block, item block) pair (tail guards get a group past the last so they
     sort last), ``chunkids`` is the interleaved chunk visit order (a
@@ -422,7 +450,7 @@ def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
     padding is ~NBU*NBLK*chunk rows once per FIT.
     """
     n = len(u)
-    NBU = num_user_blocks(num_users)
+    NBU = num_user_blocks(num_users, ub)
     BLK = block_size(num_items)
     NBI = item_pad(num_items) // BLK
     NG = NBU * NBI
@@ -434,8 +462,9 @@ def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
     if NBU == 1:
         ubid = np.zeros(n, dtype=np.int32)
     else:
-        assert user_block(num_users) == UBLK
-        ubid = (u >> 10).astype(np.int32)
+        ubw = user_block(num_users, ub)
+        assert ubw & (ubw - 1) == 0, ubw  # NBU > 1 implies ubw == cap (pow2)
+        ubid = (u >> (ubw.bit_length() - 1)).astype(np.int32)
     gid = ubid * NBI + (i // BLK).astype(np.int32)
     order = np.argsort(gid, kind="stable")
     g_s = gid[order]
@@ -454,20 +483,18 @@ def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
     nC_pad = _round_up(_round_up(nC_pad, q), nT)
     n_pad = nC_pad * chunk
 
-    guard_u = user_pad(num_users) - 1
-    rec = np.empty((n_pad, 4), dtype=np.int32)
-    rec[:, 0] = guard_u
-    rec[:, 1] = -1         # never matches a one-hot column
-    rec[:, 2] = 0          # bits of 0.0f
-    rec[:, 3] = 0          # invalid
+    # guard slots are all-zero: u_local 0 (one-hot killed by valid=0),
+    # i_local+1 = 0 (never matches a column), sw bits 0, valid 0
+    rec = np.zeros((n_pad, 2), dtype=np.int32)
     src_start = np.cumsum(cnt) - cnt
     dst_start = np.cumsum(pad_cnt) - pad_cnt
     dst = (np.arange(n, dtype=np.int64)
            - src_start[g_s] + dst_start[g_s])
-    rec[dst, 0] = u[order]
-    rec[dst, 1] = i[order]
-    rec[dst, 2] = sw[order].view(np.int32)
-    rec[dst, 3] = np.full(n, 1.0, np.float32).view(np.int32)
+    ubw = user_block(num_users, ub)
+    u_loc = (u - ubid * ubw).astype(np.int32)
+    i_loc1 = (i & (BLK - 1)) + 1                       # BLK is a pow2
+    rec[dst, 0] = u_loc[order] | (i_loc1[order] << 10) | (1 << 21)
+    rec[dst, 1] = sw[order].view(np.int32)
 
     group = np.full(n_pad, NG, dtype=np.int32)
     group[:int(pad_cnt.sum())] = np.repeat(
@@ -491,6 +518,13 @@ def make_records_grouped(u, i, sw, num_users, num_items, batch_size, chunk):
     nb = nC_pad // nT
     return (rec, group, perm.reshape(nb, nT), ublk.reshape(nb, nT),
             iblk.reshape(nb, nT))
+
+
+def unpack_record_cols(p0):
+    """(u_local, i_local_plus_1, valid) from packed record column 0 —
+    the layout `make_records_grouped` writes and the kernel inlines.
+    Works on numpy and jnp arrays (test/emulator utility)."""
+    return p0 & 1023, (p0 >> 10) & 2047, (p0 >> 21) & 1
 
 
 def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
@@ -541,10 +575,11 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
 
     pltpu.prng_seed(seed_ref[0] + t)
 
-    u = rec_ref[:, 0:1]                              # [C,1] int32
-    i = rec_ref[:, 1:2]
-    sw = pltpu.bitcast(rec_ref[:, 2:3], jnp.float32)     # [C,1] sample weight
-    valid = pltpu.bitcast(rec_ref[:, 3:4], jnp.float32)  # [C,1] 0.0/1.0
+    p0 = rec_ref[:, 0:1]                             # [C,1] packed record
+    sw = pltpu.bitcast(rec_ref[:, 1:2], jnp.float32)     # [C,1] sample weight
+    u = p0 & 1023                # user index WITHIN the chunk's user block
+    i1 = (p0 >> 10) & 2047       # item-in-block + 1 (0 = guard, no match)
+    valid = ((p0 >> 21) & 1).astype(jnp.float32)         # [C,1] 0.0/1.0
     eta = eta_ref[0]
     dreg = dreg_ref[0]                               # eta * 2 * alpha
     ubase = ublk_ref[t] * UB                         # user block (per chunk)
@@ -593,30 +628,33 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     # rows into ONE user block (see `make_records_grouped`), so the user
     # one-hot contracts over UB rows, not U_pad. Validity masks keep
     # per-block pad slots out of the counts ----
-    cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, UB), 1) + ubase
+    cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, UB), 1)
     oh_uf = (u == cols_u).astype(jnp.float32) * valid             # [C,UB] f32
     oh_u = oh_uf.astype(jnp.bfloat16)
     tur = tab_u[pl.ds(ubase, UB), :]
     u_rows = jnp.dot(oh_u, tur if TBF16 else tur.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)          # [C,128]
     # window membership words for the chunk's users, via the SAME one-hot —
-    # all NW windows in one pair of matmuls. The MXU runs bf16 passes, so
-    # the 16-bit words go through as two EXACT 8-bit planes (0xFFFF in one
-    # bf16 pass would round to 65536 and corrupt every bit)
+    # all NW windows in ONE matmul. The MXU runs bf16 passes, so the
+    # 16-bit words go through as two EXACT 8-bit planes (0xFFFF in one
+    # bf16 pass would round to 65536 and corrupt every bit); stacking the
+    # planes along the output columns makes the contraction a full
+    # 128-wide (2*LW) MXU tile instead of two half-wide passes (round 4)
     winblk = jnp.concatenate(
         [win_scratch[:, w * LANES:w * LANES + LW] for w in range(NW)],
         axis=1)                                                   # [UB,NW*LW]
-    mlo = jnp.dot(oh_u, (winblk & 0xFF).astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)
-    mhi = jnp.dot(oh_u, ((winblk >> 8) & 0xFF).astype(jnp.bfloat16),
-                  preferred_element_type=jnp.float32)
-    mask_rows = (mlo + 256.0 * mhi).astype(jnp.int32)             # [C,NW*LW]
+    planes = jnp.concatenate(
+        [winblk & 0xFF, (winblk >> 8) & 0xFF], axis=1)        # [UB,2*NW*LW]
+    mm = jnp.dot(oh_u, planes.astype(jnp.bfloat16),
+                 preferred_element_type=jnp.float32)          # [C,2*NW*LW]
+    mask_rows = (mm[:, :NW * LW]
+                 + 256.0 * mm[:, NW * LW:]).astype(jnp.int32)     # [C,NW*LW]
     # positives are bucketed into THIS chunk's item block (two-level layout,
     # `make_records_grouped`): the one-hot contracts over BLK rows, not
     # I_pad — per-chunk cost is catalog-size independent. Guard rows carry
-    # i = -1 and can never match a column.
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1) + ibase
-    oh_i = (i == cols_i).astype(jnp.bfloat16)                     # [C,BLK]
+    # i_local+1 = 0 and can never match a column.
+    cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1)
+    oh_i = (i1 - 1 == cols_i).astype(jnp.bfloat16)                # [C,BLK]
     tpr = tab_i[pl.ds(ibase, BLK), :]
     tp = tpr if TBF16 else tpr.astype(jnp.bfloat16)
     i_rows = jnp.dot(oh_i, tp, preferred_element_type=jnp.float32)
@@ -910,14 +948,15 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
 @lru_cache(maxsize=16)
 def make_fused_batch_fn(num_users, num_items, factors, max_samples,
                         batch_size, chunk=128, table_bf16=False,
-                        has_uf=False, has_if=False, n_windows=None):
+                        has_uf=False, has_if=False, n_windows=None,
+                        ub=None):
     """Build ``fn(tab_u, tab_i, rec, win_cols, chunkids, blk, ublk, iblk,
     seed, eta, dreg, x_uf, x_if, tab_uf, tab_if) ->
     (tab_u, tab_i, tab_uf, tab_if, ll)`` running one minibatch fully
     fused (the feature args/returns are None unless ``has_uf``/``has_if``;
     ``dreg`` is ``[eta*2*alpha, eta*2*beta]``).
 
-    ``rec [n_pad,4] int32`` the WHOLE epoch's bucketed records
+    ``rec [n_pad,2] int32`` the WHOLE epoch's packed bucketed records
     (`make_records_grouped` + the per-epoch segmented shuffle); grid step t
     reads chunk ``chunkids[t]`` via a scalar-prefetch index map,
     ``win_cols [NBLK*U_pad, 128] int32`` EVERY block's packed membership
@@ -932,8 +971,8 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     ``ublk [nT] int32`` the visited chunks' user block ids,
     ``iblk [nT] int32`` the visited chunks' positive-item block ids.
     """
-    U_pad = user_pad(num_users)
-    UB = user_block(num_users)
+    U_pad = user_pad(num_users, ub)
+    UB = user_block(num_users, ub)
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     LW = BLK // BITS_PER_LANE
@@ -964,7 +1003,7 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     in_specs = [
         # the WHOLE epoch's record array; grid step t reads chunk
         # chunkids[t] — the fit-time interleave costs zero data movement
-        pl.BlockSpec((C, 4), lambda t, cid: (cid[t], 0),
+        pl.BlockSpec((C, 2), lambda t, cid: (cid[t], 0),
                      memory_space=pltpu.VMEM),                             # rec
         pl.BlockSpec(memory_space=pltpu.HBM),                              # win cols
         pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
@@ -1090,7 +1129,7 @@ def _pad_win_cols(packed_hist, u_pad, nblk, lw):
     return jnp.transpose(x, (1, 0, 2)).reshape(nblk * u_pad, LANES)
 
 
-def pack_win_cols(packed_hist, num_users, num_items):
+def pack_win_cols(packed_hist, num_users, num_items, ub=None):
     """[U, NBLK*LW] blocked history pack -> [NBLK*U_pad, 128] lane-padded
     window columns, built ONCE per fit, BLOCK-major so each block's columns
     form one contiguous row span. The fused kernel DMAs its chunk's
@@ -1100,17 +1139,47 @@ def pack_win_cols(packed_hist, num_users, num_items):
     BLK = block_size(num_items)
     LW = BLK // BITS_PER_LANE
     NBLK = item_pad(num_items) // BLK
-    return _pad_win_cols(packed_hist, user_pad(num_users), NBLK, LW)
+    return _pad_win_cols(packed_hist, user_pad(num_users, ub), NBLK, LW)
+
+
+def make_shuffle_fn(num_users, num_items, ub=None):
+    """Jitted segmented shuffle: ``(rec, group, key) -> rec_s`` — the same
+    single-packed-key sort `_epoch_body` runs per epoch, exposed standalone
+    so a fit can precompute R independent layouts ONCE and cycle them
+    across epochs (`shuffle_layouts`), amortizing the ~3 ms ML-1M sort."""
+    NBLK = item_pad(num_items) // block_size(num_items)
+    NG = num_user_blocks(num_users, ub) * NBLK
+    rnd_bits = 31 - int(NG + 1).bit_length()
+
+    @jax.jit
+    def shuffle(rec, group, key):
+        n_pad = rec.shape[0]
+        rnd = jax.random.bits(key, (n_pad,), jnp.uint32)
+        keyv = (group << rnd_bits) | (rnd >> (32 - rnd_bits)).astype(jnp.int32)
+        _, c0, c1 = jax.lax.sort((keyv, rec[:, 0], rec[:, 1]), num_keys=1)
+        return jnp.stack([c0, c1], axis=1)
+
+    return shuffle
 
 
 def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
-                n_windows=None):
+                n_windows=None, ub=None, pre_shuffled=False):
     """Shared single-epoch logic: ONE segmented-shuffle sort (the layout is
     fixed at fit time, `make_records_grouped`) + a batch-order rotation +
-    a scan whose body is ONLY the fused Pallas call."""
+    a scan whose body is ONLY the fused Pallas call.
+
+    The shuffle is a SINGLE-key sort over the packed records: the group id
+    rides the high bits of one int32 key, a truncated random draw the low
+    ``31 - bits(NG)`` bits (ties fall back to the stable fit-time order —
+    a vanishing within-group order bias at any realistic row count). One
+    key + two payload columns instead of round-3's two keys + four
+    payloads = ~half the sort traffic, measured ~1.3 ms off the 26 ms
+    ML-1M epoch."""
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     NBLK = I_pad // BLK
+    NG = num_user_blocks(num_users, ub) * NBLK
+    rnd_bits = 31 - int(NG + 1).bit_length()
     NW = default_n_windows(NBLK) if n_windows is None else n_windows
     nT = batch_size // chunk
     real_cum = window_block_cdf(num_items)
@@ -1122,15 +1191,18 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
         nb = n_pad // batch_size
         key = jax.random.fold_in(key, epoch)
         kperm, ksamp, kblk, krot = jax.random.split(key, 4)
-        # segmented shuffle: one stable 2-key payload sort re-randomizes row
-        # order WITHIN each (user block, item block) group (group runs and
-        # chunk->block assignments are static - no gathers, no per-batch
-        # relayout)
-        rnd = jax.random.bits(kperm, (n_pad,), jnp.uint32)
-        _, _, c0, c1, c2, c3 = jax.lax.sort(
-            (group, rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]),
-            num_keys=2)
-        rec_s = jnp.stack([c0, c1, c2, c3], axis=1)     # [n_pad, 4]
+        if pre_shuffled:
+            # caller passes a pre-shuffled layout (shuffle_layouts cycling)
+            rec_s = rec
+        else:
+            # segmented shuffle: one stable packed-key sort re-randomizes
+            # row order WITHIN each (user block, item block) group (group
+            # runs and chunk->block assignments are static - no gathers,
+            # no per-batch relayout)
+            rnd = jax.random.bits(kperm, (n_pad,), jnp.uint32)
+            keyv = (group << rnd_bits) | (rnd >> (32 - rnd_bits)).astype(jnp.int32)
+            _, c0, c1 = jax.lax.sort((keyv, rec[:, 0], rec[:, 1]), num_keys=1)
+            rec_s = jnp.stack([c0, c1], axis=1)         # [n_pad, 2]
         # rotate the batch processing order so the (static) chunk visit
         # order varies across epochs
         r = jax.random.randint(krot, (), 0, nb)
@@ -1163,7 +1235,8 @@ def _epoch_body(batch_fn, num_users, num_items, batch_size, chunk,
 
 
 def _dp_epoch_body(batch_fn, num_users, num_items, batch_size_dev, chunk,
-                   axes, axis_sizes, n_windows=None, sync_every=1):
+                   axes, axis_sizes, n_windows=None, sync_every=1, ub=None,
+                   pre_shuffled=False):
     """Per-DEVICE epoch body for the data-parallel fused path (run under
     ``shard_map`` over mesh ``axes``).
 
@@ -1185,6 +1258,8 @@ def _dp_epoch_body(batch_fn, num_users, num_items, batch_size_dev, chunk,
     BLK = block_size(num_items)
     I_pad = item_pad(num_items)
     NBLK = I_pad // BLK
+    NG = num_user_blocks(num_users, ub) * NBLK
+    rnd_bits = 31 - int(NG + 1).bit_length()
     NW = default_n_windows(NBLK) if n_windows is None else n_windows
     nTd = batch_size_dev // chunk
     real_cum = window_block_cdf(num_items)
@@ -1201,11 +1276,13 @@ def _dp_epoch_body(batch_fn, num_users, num_items, batch_size_dev, chunk,
         kperm, ksamp, kblk, krot = jax.random.split(key, 4)
         ksamp = jax.random.fold_in(ksamp, dev)
         kblk = jax.random.fold_in(kblk, dev)
-        rnd = jax.random.bits(kperm, (n_pad,), jnp.uint32)
-        _, _, c0, c1, c2, c3 = jax.lax.sort(
-            (group, rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]),
-            num_keys=2)
-        rec_s = jnp.stack([c0, c1, c2, c3], axis=1)
+        if pre_shuffled:
+            rec_s = rec   # replicated pre-shuffled layout (shared across devices)
+        else:
+            rnd = jax.random.bits(kperm, (n_pad,), jnp.uint32)
+            keyv = (group << rnd_bits) | (rnd >> (32 - rnd_bits)).astype(jnp.int32)
+            _, c0, c1 = jax.lax.sort((keyv, rec[:, 0], rec[:, 1]), num_keys=1)
+            rec_s = jnp.stack([c0, c1], axis=1)
         r = jax.random.randint(krot, (), 0, nb)
         cids_b = jnp.roll(cids, r, axis=0)
         ublk_b = jnp.roll(ublk, r, axis=0)
@@ -1287,7 +1364,8 @@ def split_layout_for_mesh(cids, ublk, iblk, n_dev):
 @lru_cache(maxsize=16)
 def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
                         chunk=128, donate=True, table_bf16=False,
-                        has_uf=False, has_if=False, n_windows=None):
+                        has_uf=False, has_if=False, n_windows=None,
+                        ub=None, pre_shuffled=False):
     """Whole-epoch driver around the fused kernel: one segmented-shuffle
     sort per epoch (the bucketed layout is fixed at fit time,
     `make_records_grouped`), then a `lax.scan` whose body is only the
@@ -1308,9 +1386,10 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     batch_fn = make_fused_batch_fn(
         num_users, num_items, factors, max_samples, batch_size, chunk,
         table_bf16=table_bf16, has_uf=has_uf, has_if=has_if,
-        n_windows=n_windows)
+        n_windows=n_windows, ub=ub)
     one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size,
-                            chunk, n_windows=n_windows)
+                            chunk, n_windows=n_windows, ub=ub,
+                            pre_shuffled=pre_shuffled)
 
     if has_uf or has_if:
         def epoch_fn(tab_u, tab_i, win_cols, rec, group, chunkids, ublk,

@@ -43,7 +43,8 @@ def _mesh_dims(mesh):
 @lru_cache(maxsize=16)
 def _cached_fused_dp_epoch(mesh_key, num_users, num_items, factors,
                            max_samples, batch_size, chunk, table_bf16,
-                           has_uf, has_if, n_windows, sync_every):
+                           has_uf, has_if, n_windows, sync_every, ub=None,
+                           pre_shuffled=False):
     mesh = mesh_key.mesh
     axes, sizes, n_dev = _mesh_dims(mesh)
     bs_dev = batch_size // n_dev
@@ -52,20 +53,23 @@ def _cached_fused_dp_epoch(mesh_key, num_users, num_items, factors,
     batch_fn = fused_mod.make_fused_batch_fn(
         num_users, num_items, factors, max_samples, bs_dev, chunk,
         table_bf16=table_bf16, has_uf=has_uf, has_if=has_if,
-        n_windows=n_windows)
+        n_windows=n_windows, ub=ub)
     return _build_dp_epoch(mesh, batch_fn, num_users, num_items, bs_dev,
-                           chunk, has_uf, has_if, n_windows, sync_every)
+                           chunk, has_uf, has_if, n_windows, sync_every,
+                           ub=ub, pre_shuffled=pre_shuffled)
 
 
 def _build_dp_epoch(mesh, batch_fn, num_users, num_items, bs_dev, chunk,
-                    has_uf, has_if, n_windows, sync_every):
+                    has_uf, has_if, n_windows, sync_every, ub=None,
+                    pre_shuffled=False):
     """shard_map + jit plumbing around `_dp_epoch_body`; ``batch_fn`` is
     injectable so the mesh plumbing is testable on a CPU mesh with an XLA
     emulator standing in for the Mosaic kernel."""
     axes, sizes, _ = _mesh_dims(mesh)
     one_epoch = fused_mod._dp_epoch_body(
         batch_fn, num_users, num_items, bs_dev, chunk, axes, sizes,
-        n_windows=n_windows, sync_every=sync_every)
+        n_windows=n_windows, sync_every=sync_every, ub=ub,
+        pre_shuffled=pre_shuffled)
 
     rep = P()
     split = P(axes, None)     # [n_dev*nb, nTd]: leading axis over ALL axes
@@ -134,7 +138,7 @@ def _build_dp_epoch(mesh, batch_fn, num_users, num_items, bs_dev, chunk,
 def make_fused_dp_epoch_fn(mesh, num_users, num_items, factors, max_samples,
                            batch_size, chunk, table_bf16=False, has_uf=False,
                            has_if=False, n_windows=None, sync_every=1,
-                           batch_fn=None):
+                           batch_fn=None, ub=None, pre_shuffled=False):
     """Whole-epoch fused training compiled over the mesh, data-parallel.
 
     Same call signature as `rankfm_tpu.ops.fused.make_fused_epoch_fn`'s
@@ -152,8 +156,9 @@ def make_fused_dp_epoch_fn(mesh, num_users, num_items, factors, max_samples,
         axes, sizes, n_dev = _mesh_dims(mesh)
         return _build_dp_epoch(mesh, batch_fn, num_users, num_items,
                                batch_size // n_dev, chunk, has_uf, has_if,
-                               n_windows, sync_every)
+                               n_windows, sync_every, ub=ub,
+                               pre_shuffled=pre_shuffled)
     return _cached_fused_dp_epoch(
         _MeshKey(mesh), num_users, num_items, factors, max_samples,
         batch_size, chunk, bool(table_bf16), bool(has_uf), bool(has_if),
-        n_windows, int(sync_every))
+        n_windows, int(sync_every), ub=ub, pre_shuffled=bool(pre_shuffled))

@@ -83,7 +83,7 @@ def stats():
     / first-execute — the decomposition that distinguishes a genuine cache
     miss from remote-pool congestion."""
     return {t: {"disk_hits": v[0], "compiles": v[1], "memo_hits": v[2],
-                "deser_s": round(v[3], 2), "compile_s": round(v[4], 2)}
+                "deser_s": v[3], "compile_s": v[4]}
             for t, v in _STATS.items()}
 
 

@@ -24,7 +24,8 @@ _WEIGHT_KEYS = ("w_i", "w_if", "v_u", "v_i", "v_uf", "v_if")
 _HYPERS = ("factors", "loss", "max_samples", "alpha", "beta", "sigma",
            "learning_rate", "learning_schedule", "learning_exponent",
            "batch_size", "seed", "sample_rounds", "neg_sampler", "use_fused",
-           "train_step", "n_windows", "tail_windows", "dp_sync_every")
+           "train_step", "n_windows", "tail_windows", "shuffle_layouts",
+           "dp_sync_every")
 
 
 def _id_array(vals, kind):

@@ -226,40 +226,49 @@ def test_grouped_records_layout_invariants():
     assert nb == n_pad // B and nT == B // C
     assert iblk.shape == ublk.shape == cids.shape
     BLK = fused.block_size(I)
+    UBW = fused.user_block(U)
     # the interleave visits every chunk that holds real rows exactly once
-    has_real = (rec[:, 3].view(np.float32) == 1.0).reshape(-1, C).any(axis=1)
+    has_real = (((rec[:, 0] >> 21) & 1) == 1).reshape(-1, C).any(axis=1)
     visited = np.bincount(cids.reshape(-1), minlength=n_pad // C)
     assert (visited[has_real] == 1).all()
 
     def check(rec_flat):
-        valid = rec_flat[:, 3].view(np.float32) == 1.0
-        # chunk purity: at every VISIT position, the visited chunk's valid
-        # rows match that position's static user/item block assignment
+        u_loc, i1, v = fused.unpack_record_cols(rec_flat[:, 0])
+        valid = v == 1
+        # guard rows can never match a positive one-hot column and carry
+        # zero payload
+        assert (i1[~valid] == 0).all()
+        assert (rec_flat[~valid] == 0).all()
+        # chunk purity + conservation: reconstruct ABSOLUTE (u, i) from
+        # each visited chunk's static block assignment; the multiset of
+        # (u, i, sw) must equal the input exactly
         cid_f = cids.reshape(-1)
         ub_f, ib_f = ublk.reshape(-1), iblk.reshape(-1)
+        u_abs = np.zeros(n_pad, np.int64)
+        i_abs = np.zeros(n_pad, np.int64)
         for p in range(n_pad // C):
             c = cid_f[p]
-            seg = rec_flat[c * C:(c + 1) * C]
-            segv = seg[valid[c * C:(c + 1) * C]]
-            if len(segv):
-                assert ((segv[:, 0] >> 10) == ub_f[p]).all(), p
-                assert ((segv[:, 1] // BLK) == ib_f[p]).all(), p
-        # guard rows can never match a positive one-hot column
-        assert (rec_flat[~valid][:, 1] == -1).all()
-        # conservation incl. sample weights
-        got = rec_flat[valid][:, :3]
+            s = slice(c * C, (c + 1) * C)
+            u_abs[s] = ub_f[p] * UBW + u_loc[s]
+            i_abs[s] = ib_f[p] * BLK + i1[s] - 1
+        got = np.stack([u_abs[valid], i_abs[valid],
+                        rec_flat[valid][:, 1]], 1)
         want = np.stack([u, i, sw.view(np.int32)], 1)
         order_g = np.lexsort((got[:, 2], got[:, 1], got[:, 0]))
         order_w = np.lexsort((want[:, 2], want[:, 1], want[:, 0]))
         np.testing.assert_array_equal(got[order_g], want[order_w])
 
     check(rec)
-    # the per-epoch segmented shuffle preserves every invariant
+    # the per-epoch segmented shuffle (single packed key, see
+    # fused._epoch_body) preserves every invariant
+    NG = fused.num_user_blocks(U) * (fused.item_pad(I) // BLK)
+    rnd_bits = 31 - int(NG + 1).bit_length()
     rnd = jax.random.bits(jax.random.PRNGKey(5), (n_pad,), jnp.uint32)
-    _, _, c0, c1, c2, c3 = jax.lax.sort(
-        (jnp.asarray(group), rnd, *(jnp.asarray(rec[:, k]) for k in range(4))),
-        num_keys=2)
-    shuffled = np.stack([np.asarray(c) for c in (c0, c1, c2, c3)], 1)
+    keyv = (jnp.asarray(group) << rnd_bits) | (
+        rnd >> (32 - rnd_bits)).astype(jnp.int32)
+    _, c0, c1 = jax.lax.sort(
+        (keyv, jnp.asarray(rec[:, 0]), jnp.asarray(rec[:, 1])), num_keys=1)
+    shuffled = np.stack([np.asarray(c0), np.asarray(c1)], 1)
     check(shuffled)
     assert not np.array_equal(shuffled, rec)  # it did shuffle
 

@@ -35,7 +35,8 @@ def test_ml1m_band_tpu_runs_fused_window_no_tail():
     assert p.fused and p.table_mode == "f32" and not p.table_bf16
     assert p.n_tail == 0 and p.n_main == 20
     assert p.chunk == 256                      # the round-3 quality chunk
-    assert p.batch_size % 128 == 0
+    assert p.user_block == 1024                # round-4 negative result: see
+    assert p.batch_size % 128 == 0             # fused.pick_user_block
     assert p.placement == "single" and p.n_dev == 1
 
 

@@ -332,20 +332,25 @@ def test_dp_sync_every_clamps_to_batch_count():
 # the REAL kernel runs under the TPU-gated tests in test_fused.py
 # ---------------------------------------------------------------------------
 
-def _fake_batch_fn(chunk):
+def _fake_batch_fn(chunk, num_users, num_items):
     """XLA stand-in for the fused Mosaic batch program: counts each VALID
     record's visit into column 0 of the corresponding user/item table row
     and returns the count of valid rows as the 'log likelihood'. Additive,
     so the delta-psum merge must make the epoch total exact regardless of
     device split or sync cadence."""
+    from rankfm_tpu.ops import fused as fused_mod
+    ubw = fused_mod.user_block(num_users)
+    blkw = fused_mod.block_size(num_items)
 
     def fn(tab_u, tab_i, rec, win_cols, cid, blk, ublk, iblk, seed, eta,
            dreg, x_uf=None, x_if=None, tab_uf=None, tab_if=None):
         idx = (cid[:, None] * chunk + jnp.arange(chunk)[None, :]).reshape(-1)
-        rows = rec[idx]
-        valid = jax.lax.bitcast_convert_type(rows[:, 3], jnp.float32)
-        iid = jnp.where(rows[:, 1] >= 0, rows[:, 1], tab_i.shape[0] - 1)
-        tab_u = tab_u.at[rows[:, 0], 0].add(valid)
+        u_loc, i1, v = fused_mod.unpack_record_cols(rec[idx][:, 0])
+        valid = v.astype(jnp.float32)
+        u_abs = jnp.repeat(ublk, chunk) * ubw + u_loc
+        i_abs = jnp.repeat(iblk, chunk) * blkw + i1 - 1
+        iid = jnp.where(i1 > 0, i_abs, tab_i.shape[0] - 1)
+        tab_u = tab_u.at[u_abs, 0].add(valid)
         tab_i = tab_i.at[iid, 0].add(valid)
         return tab_u, tab_i, tab_uf, tab_if, jnp.sum(valid)
 
@@ -375,7 +380,7 @@ def test_fused_dp_epoch_visits_every_row_once(sync_every):
     mesh = make_mesh(data=8, model=1)
     epoch_fn = make_fused_dp_epoch_fn(
         mesh, U, I, 8, 1, bs, chunk, sync_every=sync_every,
-        batch_fn=_fake_batch_fn(chunk))
+        batch_fn=_fake_batch_fn(chunk, U, I))
 
     U_pad, I_pad = fused_mod.user_pad(U), fused_mod.item_pad(I)
     tab_u = jnp.zeros((U_pad, 128), jnp.float32)
@@ -414,7 +419,7 @@ def test_fused_dp_epoch_shuffles_but_conserves_counts():
 
     mesh = make_mesh(data=8, model=1)
     epoch_fn = make_fused_dp_epoch_fn(
-        mesh, U, I, 8, 1, bs, chunk, batch_fn=_fake_batch_fn(chunk))
+        mesh, U, I, 8, 1, bs, chunk, batch_fn=_fake_batch_fn(chunk, U, I))
 
     U_pad, I_pad = fused_mod.user_pad(U), fused_mod.item_pad(I)
     for epoch in (0, 1, 7):
@@ -450,13 +455,10 @@ def test_fused_dp_epoch_feature_variant_plumbing():
     def fake_feat_batch_fn(tab_u, tab_i, rec_, win_cols, cid, blk, ublk_,
                            iblk_, seed, eta, dreg, x_uf=None, x_if=None,
                            tab_uf=None, tab_if=None):
-        idx = (cid[:, None] * chunk + jnp.arange(chunk)[None, :]).reshape(-1)
-        rows = rec_[idx]
-        valid = jax.lax.bitcast_convert_type(rows[:, 3], jnp.float32)
-        iid = jnp.where(rows[:, 1] >= 0, rows[:, 1], tab_i.shape[0] - 1)
-        tab_u = tab_u.at[rows[:, 0], 0].add(valid)
-        tab_i = tab_i.at[iid, 0].add(valid)
-        nvalid = jnp.sum(valid)
+        base = _fake_batch_fn(chunk, U, I)
+        tab_u, tab_i, _, _, nvalid = base(
+            tab_u, tab_i, rec_, win_cols, cid, blk, ublk_, iblk_, seed,
+            eta, dreg)
         # feature tables: count visits in one cell (additive, mergeable)
         tab_uf = tab_uf.at[0, 0].add(nvalid)
         tab_if = tab_if.at[0, 0].add(nvalid * 2.0)

@@ -72,13 +72,17 @@ c, t, _ = timeit(lambda: ep(tu, ti, win_cols, rec, group, cids, ublk,
 print(f"full epoch:   compile={c:6.1f}s  best={t*1000:7.1f} ms")
 
 
-# ---- shuffle only ----
+# ---- shuffle only (single packed key, round 4 — see fused._epoch_body) ----
+NG_ = fused.num_user_blocks(U) * (fused.item_pad(I) // fused.block_size(I))
+RND_BITS = 31 - int(NG_ + 1).bit_length()
+
+
 @jax.jit
 def shuffle_only(rec, group, key):
     rnd = jax.random.bits(key, (n_pad,), jnp.uint32)
-    _, _, c0, c1, c2, c3 = jax.lax.sort(
-        (group, rnd, rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]), num_keys=2)
-    return jnp.stack([c0, c1, c2, c3], axis=1)
+    keyv = (group << RND_BITS) | (rnd >> (32 - RND_BITS)).astype(jnp.int32)
+    _, c0, c1 = jax.lax.sort((keyv, rec[:, 0], rec[:, 1]), num_keys=1)
+    return jnp.stack([c0, c1], axis=1)
 
 
 c, t, rec_b = timeit(lambda: shuffle_only(rec, group, key))
