@@ -114,6 +114,12 @@ def main():
         "ingest_queue_exec_s": round(max(warm - deser_s - compile_s, 0.0), 1),
     }
 
+    # emit the warmup decomposition IMMEDIATELY (stderr, flushed): if the
+    # steady-state loop below stalls on pool congestion and the run is
+    # killed, the warm-start evidence still made it out
+    print(f"# warmup={warm:.1f}s {warm_detail} aot={aot_state}",
+          file=sys.stderr, flush=True)
+
     # steady state: time EPOCHS epochs through the public API; best of five
     # runs (the shared-TPU link shows >10% run-to-run noise)
     elapsed = float("inf")

@@ -126,6 +126,7 @@ class _FitRun:
         # (`_rankfm.pyx:328-336`).
         self.epoch_lls = []
         self.epoch_secs = []
+        self._pending_poll = None  # in-flight async ll fetch (lagged poll)
         # fused-path weights live in packed device tables until pulled back;
         # the divergence raise needs them in model._weights for the named
         # per-tensor message
@@ -165,19 +166,39 @@ class _FitRun:
             print("\ntraining epoch:", epoch)
             print("log likelihood:", round(float(ll) - penalty, 2))
         elif len(self.epoch_lls) % 4 == 0 and len(self.epoch_lls) >= 3:
-            # lagged divergence poll: one scalar fetch per 4 epochs, two
-            # epochs behind the dispatch front — the pipeline stays >= 2
-            # deep (the reference aborts per epoch, `_rankfm.pyx:328-329`;
-            # pre-round-3 this deferred to END of fit, burning every
-            # remaining epoch of a diverged 100-epoch run)
-            if not np.isfinite(float(jax.device_get(self.epoch_lls[-3]))):
+            # lagged divergence poll, fully ASYNC (round 4): start a
+            # device->host copy of the 2-epochs-lagged guarded ll now and
+            # CONSUME the one started at the previous poll (4 epochs ago,
+            # long since resident) — the dispatch front never blocks on a
+            # tunnel round trip. The synchronous poll cost ~2 ms/epoch of
+            # the ML-1M fit over the remote link (5 RTTs / 20 epochs).
+            # Detection lag grows from ~6 to ~10 epochs past the first bad
+            # epoch — the reference aborts per epoch (`_rankfm.pyx:328-329`)
+            # but a diverged 100-epoch run still dies at ~10%, not at the
+            # end, and the REPORTED first-bad epoch is exact either way
+            # (finish()/_check_lls scans the full ll log).
+            prev = self._pending_poll
+            cur = self.epoch_lls[-3]
+            try:
+                cur.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass  # plain scalars / backends without async host copies
+            self._pending_poll = cur
+            if prev is not None and \
+                    not np.isfinite(float(jax.device_get(prev))):
                 self._check_lls([float(x)
                                  for x in jax.device_get(self.epoch_lls)])
 
     def finish(self):
         lls = [float(x) for x in jax.device_get(self.epoch_lls)]  # syncs
         self._check_lls(lls)  # raises at the FIRST bad epoch index
-        self.m._assert_finite()
+        # NO _assert_finite here: every epoch's ll was weight-GUARDED
+        # (`_ll_guard` folds all-table finiteness into the scalar), so all
+        # lls finite PROVES the weights finite — the explicit check would
+        # re-pay a device round trip (~26 ms of the warm ML-1M fit's 70 ms
+        # per-fit fixed cost) to re-establish a fact the guard already
+        # carried. The failure path (_raise_divergence) still runs it for
+        # the reference's per-tensor message.
         if not self.verbose and self.epoch_secs:
             # non-verbose epochs dispatch asynchronously (deliberately —
             # they pipeline back-to-back on device), so the per-epoch

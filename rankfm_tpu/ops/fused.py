@@ -211,6 +211,29 @@ def default_n_windows(nblk):
     return 1 if nblk <= 8 else min(4, nblk)
 
 
+def _fused_vmem_bytes(num_users, num_items, width, nw, x_uf_any, x_if_any,
+                      win_db=1, ub=None):
+    """Total VMEM the fused kernel allocates: tables (``width`` bytes/elem)
+    plus fixed scratch. Feature-block scratch is table-dtype; the packed
+    factor tables themselves stay f32 but are one 64 KB tile each. Every
+    window carries a [UB, 128] int32 membership-column scratch per DMA
+    buffer (``win_db`` = 2 when the membership DMAs are double-buffered
+    across grid steps, table dtype notwithstanding).
+
+    The kernel allocates user_pad rows (guard row + whole user blocks),
+    not a bare 8-row rounding — budgeting the smaller figure admitted
+    near-boundary configs that then failed at Mosaic load."""
+    rows = user_pad(num_users, ub) + item_pad(num_items)
+    blk = block_size(num_items)
+    s = rows * LANES * width
+    s += win_db * nw * user_block(num_users, ub) * LANES * 4
+    if x_uf_any:
+        s += user_block(num_users, ub) * LANES * width + LANES * LANES * 4
+    if x_if_any:
+        s += (1 + nw) * blk * LANES * width + LANES * LANES * 4
+    return s
+
+
 def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
                      vmem_table_budget=15 * 2**20, num_uf=0, num_if=0):
     """How the fused kernel can run this configuration.
@@ -227,6 +250,10 @@ def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
     see `make_fused_batch_fn`); beyond `FUSED_NBLK_CAP` blocks the XLA
     candidate step takes over (see `RankFM.fit_partial`).
 
+    Eligibility assumes single-buffered membership DMAs (``win_db=1``);
+    `make_fused_batch_fn` upgrades to the double-buffered prefetch only
+    when the extra scratch also fits, so no config loses eligibility.
+
     Side features fuse too (`_rankfm.pyx:48-89` feature terms) when each
     side has <= 128 feature columns: the per-block feature rows ride DMAs
     into fixed-size VMEM scratch, so they only charge the budget for that
@@ -240,27 +267,12 @@ def fused_table_mode(num_users, num_items, factors, x_uf_any, x_if_any,
     nblk = i_pad // block_size(num_items)
     if nblk > FUSED_NBLK_CAP:
         return None
-    # the kernel allocates user_pad rows (guard row + whole user blocks),
-    # not a bare 8-row rounding — budgeting the smaller figure admitted
-    # near-boundary configs that then failed at Mosaic load
-    rows = user_pad(num_users) + i_pad
-    blk = block_size(num_items)
     nw = default_n_windows(nblk)
-    def scratch(width):
-        # feature-block scratch is table-dtype (f32 or bf16); the packed
-        # factor tables themselves stay f32 but are one 64 KB tile each.
-        # Every window also carries a [UB, 128] int32 membership-column
-        # scratch (win_scratch), table dtype notwithstanding.
-        s = nw * user_block(num_users) * LANES * 4
-        if x_uf_any:
-            s += user_block(num_users) * LANES * width + LANES * LANES * 4
-        if x_if_any:
-            s += (1 + nw) * blk * LANES * width + LANES * LANES * 4
-        return s
-
-    if rows * LANES * 4 + scratch(4) <= vmem_table_budget:
+    if _fused_vmem_bytes(num_users, num_items, 4, nw, x_uf_any,
+                         x_if_any) <= vmem_table_budget:
         return 'f32'
-    if rows * LANES * 2 + scratch(2) <= vmem_table_budget:
+    if _fused_vmem_bytes(num_users, num_items, 2, nw, x_uf_any,
+                         x_if_any) <= vmem_table_budget:
         return 'bf16'
     return None
 
@@ -530,7 +542,7 @@ def unpack_record_cols(p0):
 def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
             vu_in, vi_in, *rest,
             U_pad, UB, I_pad, F, M, C, BLK, NW, num_items, TBF16,
-            HAS_UF=False, HAS_IF=False):
+            HAS_UF=False, HAS_IF=False, WDB=1):
     # refs whose presence depends on the (static) feature flags — the
     # no-feature variants trace the exact same module as before
     it = iter(rest)
@@ -549,7 +561,7 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     xuf_scr = next(it) if HAS_UF else None
     xif_pos_scr = next(it) if HAS_IF else None
     xif_win_scr = next(it) if HAS_IF else None
-    ll_acc, copy_sem = next(it), next(it)
+    ll_acc, copy_sem, win_sem = next(it), next(it), next(it)
 
     LW = BLK // BITS_PER_LANE
     lg_lw = LW.bit_length() - 1
@@ -589,32 +601,63 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     # catalog-uniform (see make_fused_batch_fn for why NW == 1).
     blks = [blk_ref[t, w] for w in range(NW)]
     boffs = [b * BLK for b in blks]
-    # each window's packed membership columns for this chunk's user block:
+
+    # each window's packed membership columns for its chunk's user block:
     # small sliced DMAs from the FULL per-fit lane-padded pack
     # ([NBLK*U_pad, 128], see `pack_win_cols`; block-major so every slice
     # is one CONTIGUOUS sublane span). Nothing item-windowed is built per
-    # batch in XLA.
-    wdmas = [pltpu.make_async_copy(
-        wincols_ref.at[pl.ds(blks[w] * U_pad + ubase, UB), :],
-        win_scratch.at[:, pl.ds(w * LANES, LANES)], copy_sem.at[w])
-        for w in range(NW)]
+    # batch in XLA. With WDB == 2 the buffers REVOLVE across grid steps:
+    # step t issues step t+1's membership DMAs before doing its own
+    # compute, hiding the ~512 KB/window HBM latency that used to sit
+    # synchronously at the top of every step (start-then-wait). The write
+    # into slot (t+1)%2 cannot race step t's reads of slot t%2, and the
+    # reuse of a slot two steps later is ordered by the core's sequential
+    # grid execution — the standard Mosaic revolving-buffer pattern.
+    def win_dma(slot, step, w):
+        return pltpu.make_async_copy(
+            wincols_ref.at[
+                pl.ds(blk_ref[step, w] * U_pad + ublk_ref[step] * UB, UB), :],
+            win_scratch.at[slot, :, pl.ds(w * LANES, LANES)],
+            win_sem.at[slot, w])
+
+    if WDB == 1:
+        slot = 0
+        for w in range(NW):
+            win_dma(0, t, w).start()
+    else:
+        slot = jax.lax.rem(t, WDB)
+
+        @pl.when(t == 0)
+        def _win_first():
+            for w in range(NW):
+                win_dma(0, 0, w).start()
+
+        @pl.when(t + 1 < nT)
+        def _win_next():
+            nslot = jax.lax.rem(t + 1, WDB)
+            for w in range(NW):
+                win_dma(nslot, t + 1, w).start()
+
     # feature blocks for this chunk: x_uf rows of the user block, x_if rows
     # of the positive block and of every negative window (lane-padded f32,
     # `pad_feature_cols`) — fixed-size slices regardless of U/I
+    fdmas = []
     if HAS_UF:
-        wdmas.append(pltpu.make_async_copy(
+        fdmas.append(pltpu.make_async_copy(
             xuf_hbm.at[pl.ds(ubase, UB), :], xuf_scr, copy_sem.at[NW]))
     if HAS_IF:
-        wdmas.append(pltpu.make_async_copy(
+        fdmas.append(pltpu.make_async_copy(
             xif_hbm.at[pl.ds(ibase, BLK), :], xif_pos_scr,
             copy_sem.at[NW + 1]))
-        wdmas.extend(pltpu.make_async_copy(
+        fdmas.extend(pltpu.make_async_copy(
             xif_hbm.at[pl.ds(boffs[w], BLK), :],
             xif_win_scr.at[pl.ds(w * BLK, BLK), :],
             copy_sem.at[NW + 2 + w]) for w in range(NW))
-    for c in wdmas:
+    for c in fdmas:
         c.start()
-    for c in wdmas:
+    for w in range(NW):
+        win_dma(slot, t, w).wait()
+    for c in fdmas:
         c.wait()
 
     # [NW*BLK, 128] window rows (concat of the NW table slices)
@@ -641,7 +684,7 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     # planes along the output columns makes the contraction a full
     # 128-wide (2*LW) MXU tile instead of two half-wide passes (round 4)
     winblk = jnp.concatenate(
-        [win_scratch[:, w * LANES:w * LANES + LW] for w in range(NW)],
+        [win_scratch[slot, :, w * LANES:w * LANES + LW] for w in range(NW)],
         axis=1)                                                   # [UB,NW*LW]
     planes = jnp.concatenate(
         [winblk & 0xFF, (winblk >> 8) & 0xFF], axis=1)        # [UB,2*NW*LW]
@@ -995,10 +1038,16 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     NW = default_n_windows(NBLK_) if n_windows is None else n_windows
     assert 1 <= NW <= NBLK_, (NW, NBLK_)
     tdt = jnp.bfloat16 if table_bf16 else jnp.float32
+    # double-buffer the per-chunk window-membership DMAs when the second
+    # set of [UB, 128] int32 buffers also fits the VMEM budget (eligibility
+    # is gated at WDB=1, so tight configs keep running single-buffered)
+    WDB = 2 if _fused_vmem_bytes(
+        num_users, num_items, 2 if table_bf16 else 4, NW, has_uf, has_if,
+        win_db=2, ub=ub) <= 15 * 2**20 else 1
     kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
                    M=max_samples, C=C, BLK=BLK, NW=NW,
                    num_items=num_items, TBF16=table_bf16,
-                   HAS_UF=has_uf, HAS_IF=has_if)
+                   HAS_UF=has_uf, HAS_IF=has_if, WDB=WDB)
 
     in_specs = [
         # the WHOLE epoch's record array; grid step t reads chunk
@@ -1058,7 +1107,7 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     scratch_shapes = [
         pltpu.VMEM((U_pad, LANES), tdt),
         pltpu.VMEM((I_pad, LANES), tdt),
-        pltpu.VMEM((UB, NW * LANES), jnp.int32),
+        pltpu.VMEM((WDB, UB, NW * LANES), jnp.int32),
     ]
     fdt = jnp.bfloat16 if table_bf16 else jnp.float32
     if has_uf:
@@ -1073,6 +1122,7 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     scratch_shapes += [
         pltpu.SMEM((1,), jnp.float32),
         pltpu.SemaphoreType.DMA((2 * NW + 2,)),
+        pltpu.SemaphoreType.DMA((WDB, NW)),      # revolving window buffers
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

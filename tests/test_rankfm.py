@@ -535,9 +535,11 @@ def test_sample_rounds_participates_in_epoch_program_key():
 def test_divergence_aborts_early_not_at_fit_end():
     """a diverging fit must raise at (near) the first non-finite epoch —
     the reference's per-epoch assert_finite (`_rankfm.pyx:328-329`) — not
-    after burning every remaining epoch. The lagged poll checks a guarded
-    ll every 4 epochs, so detection must land within ~6 epochs of the
-    divergence while the epoch pipeline stays asynchronous."""
+    after burning every remaining epoch. The lagged poll starts an ASYNC
+    fetch of a guarded ll every 4 epochs and consumes it at the next poll
+    (the dispatch front never blocks on a device round trip), so detection
+    must land within ~10 epochs of the divergence while the epoch pipeline
+    stays asynchronous."""
     rng = np.random.default_rng(0)
     inter = np.stack([rng.integers(0, 50, 2000),
                       rng.integers(0, 40, 2000)], 1)
@@ -546,8 +548,8 @@ def test_divergence_aborts_early_not_at_fit_end():
     with pytest.raises(AssertionError, match="not finite"):
         m.fit(inter, sample_weight=sw, epochs=60)
     assert m._abort_epoch < 10, m._abort_epoch
-    # detected within the poll lag of the bad epoch, not at fit end
-    assert m._abort_detected_at <= m._abort_epoch + 7, (
+    # detected within the (async) poll lag of the bad epoch, not at fit end
+    assert m._abort_detected_at <= m._abort_epoch + 11, (
         m._abort_epoch, m._abort_detected_at)
 
 

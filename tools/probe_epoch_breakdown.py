@@ -20,7 +20,7 @@ from rankfm_tpu.ops import fused
 U, I, F, M = 6040, 3706, 20, 20
 N = 746_849
 BS = 32768
-CHUNK = 512
+CHUNK = int(sys.argv[1]) if len(sys.argv) > 1 else 256
 
 rng = np.random.default_rng(1492)
 u = rng.integers(0, U, N).astype(np.int32)
@@ -92,20 +92,22 @@ print(f"shuffle only: compile={c:6.1f}s  best={t*1000:7.1f} ms")
 NBLK = fused.item_pad(I) // fused.block_size(I)
 
 batch_fn = fused.make_fused_batch_fn(U, I, F, M, BS, CHUNK)
+NW = fused.default_n_windows(NBLK)
 seeds = jax.random.randint(key, (nb,), 0, 2**31 - 1, dtype=jnp.int32)
-blks = jax.random.randint(key, (nb, nT), 0, NBLK, dtype=jnp.int32)
+blks = jax.random.randint(key, (nb, nT, NW), 0, NBLK, dtype=jnp.int32)
 
 
 @jax.jit
 def scan_only(tu, ti, rec_s, cids, ublk, iblk, seeds, blks):
     eta = jnp.asarray([0.1], jnp.float32)
-    dreg = eta * 0.02
+    dreg = jnp.concatenate([eta * 0.02, eta * 0.02])
 
     def body(carry, xs):
         tu, ti = carry
         cid_, seed_, blk_, ublk_, iblk_ = xs
-        tu, ti, ll = batch_fn(tu, ti, rec_s, win_cols, cid_, blk_, ublk_,
-                              iblk_, jnp.reshape(seed_, (1,)), eta, dreg)
+        tu, ti, _, _, ll = batch_fn(tu, ti, rec_s, win_cols, cid_, blk_,
+                                    ublk_, iblk_, jnp.reshape(seed_, (1,)),
+                                    eta, dreg)
         return (tu, ti), ll
 
     (tu, ti), lls = jax.lax.scan(body, (tu, ti),
