@@ -28,12 +28,18 @@ see the field docstrings and BENCHMARKS.md):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np
 
 from rankfm_tpu.ops import fused as fused_mod
+
+# chunks walked per Mosaic grid step (fused path). Pure scheduling —
+# trajectories are bitwise-identical for any value (probe_sub_rounds.py) —
+# so the default is whatever the device A/B measures fastest.
+DEFAULT_SUB = 1
 
 
 def _next_pow2(n):
@@ -86,6 +92,9 @@ class FitPlan:
     table_bf16: bool          # stochastically-rounded bf16 VMEM tables
     batch_size: int           # fused global batch (scan granularity)
     chunk: int                # fused chunk rows (negative-window unit)
+    sub: int                  # chunks walked per Mosaic grid step (pure
+                              # scheduling: bitwise-identical trajectories,
+                              # amortizes fixed per-grid-step cost)
     user_block: int           # fused user-bucket rows (pure layout; 0 = n/a)
     shuffle_layouts: int      # pre-computed epoch layouts cycled (1 = sort
                               # per epoch); see fused.make_shuffle_fn
@@ -186,6 +195,12 @@ def plan_fit(spec: FitSpec) -> FitPlan:
     chunk = fused_mod.pick_chunk(max(bs // n_dev, 128), U, I, spec.n) \
         if fused else 0
     ub = fused_mod.pick_user_block(U, I, spec.n, chunk) if fused else 0
+    # sub-rounds per grid step: pure scheduling (bitwise-identical
+    # trajectories to sub=1 — tools/probe_sub_rounds.py), so this is a
+    # throughput-only knob; `make_fused_batch_fn` clamps it to a divisor
+    # of chunks-per-batch that fits the VMEM pipeline budget.
+    # RANKFM_TPU_SUB overrides for A/B probing.
+    sub = int(os.environ.get("RANKFM_TPU_SUB", DEFAULT_SUB)) if fused else 1
     # R pre-computed shuffled layouts cycled across epochs amortize the
     # per-epoch segmented sort (~3 ms of the 26 ms ML-1M epoch; R fits in
     # R x 6 MB HBM). Windows, negative draws, and the chunk visit
@@ -280,7 +295,7 @@ def plan_fit(spec: FitSpec) -> FitPlan:
     return FitPlan(
         max_samples=max_samples, n_dev=n_dev, nblk=nblk,
         fused=fused, table_mode=table_mode, table_bf16=table_bf16,
-        batch_size=bs, chunk=chunk, user_block=ub,
+        batch_size=bs, chunk=chunk, sub=sub, user_block=ub,
         shuffle_layouts=shuffle_layouts, n_windows=nw_main,
         n_main=spec.epochs - n_tail, n_tail=n_tail, tail_windows=nw_tail,
         xla_batch=bs_x, step_kind=step_kind, placement=placement,

@@ -444,12 +444,13 @@ class _FitRun:
                 m.mesh, U, num_items, F, max_samples, bs, chunk,
                 table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any,
                 n_windows=nw_main, sync_every=m.dp_sync_every, ub=ub,
-                pre_shuffled=pre_shuffled)
+                pre_shuffled=pre_shuffled, sub=plan.sub)
         else:
             epoch_fn = fused_mod.make_fused_epoch_fn(
                 U, num_items, F, max_samples, bs, chunk=chunk,
                 table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any,
-                n_windows=nw_main, ub=ub, pre_shuffled=pre_shuffled)
+                n_windows=nw_main, ub=ub, pre_shuffled=pre_shuffled,
+                sub=plan.sub)
             # AOT warm-start: the fused program's ~70 s compile dominates
             # cold warmup, and the backend's persistent-cache key drifts
             # across processes for Mosaic programs — cache the serialized
@@ -459,7 +460,7 @@ class _FitRun:
                 epoch_fn,
                 key_parts=(U, num_items, F, max_samples, bs, chunk, ub,
                            table_bf16, x_uf_any, x_if_any, nw_main,
-                           pre_shuffled),
+                           pre_shuffled, plan.sub),
                 tag="fused_epoch")
         # side features: lane-padded HBM feature blocks + the packed
         # small factor tables (v_uf / w_if+v_if) the kernel keeps in VMEM
@@ -509,18 +510,18 @@ class _FitRun:
                     chunk, table_bf16=table_bf16, has_uf=x_uf_any,
                     has_if=x_if_any, n_windows=plan.tail_windows,
                     sync_every=m.dp_sync_every, ub=ub,
-                    pre_shuffled=pre_shuffled)
+                    pre_shuffled=pre_shuffled, sub=plan.sub)
             else:
                 wide_tail_fn = fused_mod.make_fused_epoch_fn(
                     U, num_items, F, max_samples, bs, chunk=chunk,
                     table_bf16=table_bf16, has_uf=x_uf_any,
                     has_if=x_if_any, n_windows=plan.tail_windows, ub=ub,
-                    pre_shuffled=pre_shuffled)
+                    pre_shuffled=pre_shuffled, sub=plan.sub)
                 wide_tail_fn = aotcache.wrap(
                     wide_tail_fn,
                     key_parts=(U, num_items, F, max_samples, bs,
                                chunk, ub, table_bf16, x_uf_any, x_if_any,
-                               plan.tail_windows, pre_shuffled),
+                               plan.tail_windows, pre_shuffled, plan.sub),
                     tag="fused_epoch")
 
         def _run_fused_epochs(fn, epoch_range):

@@ -542,7 +542,7 @@ def unpack_record_cols(p0):
 def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
             vu_in, vi_in, *rest,
             U_pad, UB, I_pad, F, M, C, BLK, NW, num_items, TBF16,
-            HAS_UF=False, HAS_IF=False, WDB=1):
+            HAS_UF=False, HAS_IF=False, WDB=1, SUB=1):
     # refs whose presence depends on the (static) feature flags — the
     # no-feature variants trace the exact same module as before
     it = iter(rest)
@@ -566,7 +566,7 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
     LW = BLK // BITS_PER_LANE
     lg_lw = LW.bit_length() - 1
     t = pl.program_id(0)
-    nT = pl.num_programs(0)
+    nT = pl.num_programs(0)    # GRID steps; each runs SUB sequential chunks
     log_I = math.log(num_items) if num_items > 1 else 1.0
 
     @pl.when(t == 0)
@@ -585,34 +585,18 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
             c.wait()
         ll_acc[0] = 0.0
 
-    pltpu.prng_seed(seed_ref[0] + t)
-
-    p0 = rec_ref[:, 0:1]                             # [C,1] packed record
-    sw = pltpu.bitcast(rec_ref[:, 1:2], jnp.float32)     # [C,1] sample weight
-    u = p0 & 1023                # user index WITHIN the chunk's user block
-    i1 = (p0 >> 10) & 2047       # item-in-block + 1 (0 = guard, no match)
-    valid = ((p0 >> 21) & 1).astype(jnp.float32)         # [C,1] 0.0/1.0
-    eta = eta_ref[0]
-    dreg = dreg_ref[0]                               # eta * 2 * alpha
-    ubase = ublk_ref[t] * UB                         # user block (per chunk)
-    ibase = iblk_ref[t] * BLK                        # positive-item block
-    # NW negative windows per chunk, each drawn with probability
-    # proportional to its real item count so negatives stay exactly
-    # catalog-uniform (see make_fused_batch_fn for why NW == 1).
-    blks = [blk_ref[t, w] for w in range(NW)]
-    boffs = [b * BLK for b in blks]
-
     # each window's packed membership columns for its chunk's user block:
     # small sliced DMAs from the FULL per-fit lane-padded pack
     # ([NBLK*U_pad, 128], see `pack_win_cols`; block-major so every slice
     # is one CONTIGUOUS sublane span). Nothing item-windowed is built per
-    # batch in XLA. With WDB == 2 the buffers REVOLVE across grid steps:
-    # step t issues step t+1's membership DMAs before doing its own
-    # compute, hiding the ~512 KB/window HBM latency that used to sit
+    # batch in XLA. With WDB == 2 the buffers REVOLVE across VIRTUAL steps
+    # (grid step t runs SUB sequential chunks, virtual step k = t*SUB + s):
+    # step k issues step k+1's membership + record DMAs before doing its
+    # own compute, hiding the ~512 KB/window HBM latency that used to sit
     # synchronously at the top of every step (start-then-wait). The write
-    # into slot (t+1)%2 cannot race step t's reads of slot t%2, and the
+    # into slot (k+1)%2 cannot race step k's reads of slot k%2, and the
     # reuse of a slot two steps later is ordered by the core's sequential
-    # grid execution — the standard Mosaic revolving-buffer pattern.
+    # execution — the standard Mosaic revolving-buffer pattern.
     def win_dma(slot, step, w):
         return pltpu.make_async_copy(
             wincols_ref.at[
@@ -620,356 +604,398 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
             win_scratch.at[slot, :, pl.ds(w * LANES, LANES)],
             win_sem.at[slot, w])
 
-    if WDB == 1:
-        slot = 0
+    def issue(slot, step):
         for w in range(NW):
-            win_dma(0, t, w).start()
-    else:
-        slot = jax.lax.rem(t, WDB)
+            win_dma(slot, step, w).start()
 
-        @pl.when(t == 0)
-        def _win_first():
-            for w in range(NW):
-                win_dma(0, 0, w).start()
+    def _sub_round(k, slot, s):
+        """One 256-row chunk: EXACTLY the SUB=1 grid step's semantics —
+        same per-chunk PRNG stream (seeded at the virtual index), same
+        window draws, same sequential table updates — so the training
+        trajectory is bitwise independent of SUB (pinned by
+        tests/test_fused.py)."""
+        pltpu.prng_seed(seed_ref[0] + k)
+        eta = eta_ref[0]
+        dreg = dreg_ref[0]                           # eta * 2 * alpha
+        ubase = ublk_ref[k] * UB                     # user block (per chunk)
+        ibase = iblk_ref[k] * BLK                    # positive-item block
+        # NW negative windows per chunk, each drawn with probability
+        # proportional to its real item count so negatives stay exactly
+        # catalog-uniform (see make_fused_batch_fn for why NW == 1).
+        blks = [blk_ref[k, w] for w in range(NW)]
+        boffs = [b * BLK for b in blks]
 
-        @pl.when(t + 1 < nT)
-        def _win_next():
-            nslot = jax.lax.rem(t + 1, WDB)
-            for w in range(NW):
-                win_dma(nslot, t + 1, w).start()
+        # feature blocks for this chunk: x_uf rows of the user block, x_if
+        # rows of the positive block and of every negative window
+        # (lane-padded f32, `pad_feature_cols`) — fixed-size slices
+        # regardless of U/I
+        fdmas = []
+        if HAS_UF:
+            fdmas.append(pltpu.make_async_copy(
+                xuf_hbm.at[pl.ds(ubase, UB), :], xuf_scr, copy_sem.at[NW]))
+        if HAS_IF:
+            fdmas.append(pltpu.make_async_copy(
+                xif_hbm.at[pl.ds(ibase, BLK), :], xif_pos_scr,
+                copy_sem.at[NW + 1]))
+            fdmas.extend(pltpu.make_async_copy(
+                xif_hbm.at[pl.ds(boffs[w], BLK), :],
+                xif_win_scr.at[pl.ds(w * BLK, BLK), :],
+                copy_sem.at[NW + 2 + w]) for w in range(NW))
+        for c in fdmas:
+            c.start()
+        for w in range(NW):
+            win_dma(slot, k, w).wait()
+        for c in fdmas:
+            c.wait()
 
-    # feature blocks for this chunk: x_uf rows of the user block, x_if rows
-    # of the positive block and of every negative window (lane-padded f32,
-    # `pad_feature_cols`) — fixed-size slices regardless of U/I
-    fdmas = []
-    if HAS_UF:
-        fdmas.append(pltpu.make_async_copy(
-            xuf_hbm.at[pl.ds(ubase, UB), :], xuf_scr, copy_sem.at[NW]))
-    if HAS_IF:
-        fdmas.append(pltpu.make_async_copy(
-            xif_hbm.at[pl.ds(ibase, BLK), :], xif_pos_scr,
-            copy_sem.at[NW + 1]))
-        fdmas.extend(pltpu.make_async_copy(
-            xif_hbm.at[pl.ds(boffs[w], BLK), :],
-            xif_win_scr.at[pl.ds(w * BLK, BLK), :],
-            copy_sem.at[NW + 2 + w]) for w in range(NW))
-    for c in fdmas:
-        c.start()
-    for w in range(NW):
-        win_dma(slot, t, w).wait()
-    for c in fdmas:
-        c.wait()
+        # sub-round s's chunk: a STATIC slice of the grid step's pipelined
+        # [SUB*C, 2] record block (the batch wrapper gathers records into
+        # visit order, so block t holds chunks t*SUB .. t*SUB+SUB-1)
+        p0 = rec_ref[s * C:(s + 1) * C, 0:1]         # [C,1] packed record
+        sw = pltpu.bitcast(rec_ref[s * C:(s + 1) * C, 1:2],
+                           jnp.float32)              # [C,1] sample weight
+        u = p0 & 1023            # user index WITHIN the chunk's user block
+        i1 = (p0 >> 10) & 2047   # item-in-block + 1 (0 = guard, no match)
+        valid = ((p0 >> 21) & 1).astype(jnp.float32)     # [C,1] 0.0/1.0
 
-    # [NW*BLK, 128] window rows (concat of the NW table slices)
-    tws = [tab_i[pl.ds(b, BLK), :] for b in boffs]
-    tw = jnp.concatenate(tws, axis=0)
-    if not TBF16:
-        tw = tw.astype(jnp.bfloat16)
-    W2 = NW * BLK
-
-    # ---- one-hot gathers (MXU). The fit-time layout buckets every chunk's
-    # rows into ONE user block (see `make_records_grouped`), so the user
-    # one-hot contracts over UB rows, not U_pad. Validity masks keep
-    # per-block pad slots out of the counts ----
-    cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, UB), 1)
-    oh_uf = (u == cols_u).astype(jnp.float32) * valid             # [C,UB] f32
-    oh_u = oh_uf.astype(jnp.bfloat16)
-    tur = tab_u[pl.ds(ubase, UB), :]
-    u_rows = jnp.dot(oh_u, tur if TBF16 else tur.astype(jnp.bfloat16),
-                     preferred_element_type=jnp.float32)          # [C,128]
-    # window membership words for the chunk's users, via the SAME one-hot —
-    # all NW windows in ONE matmul. The MXU runs bf16 passes, so the
-    # 16-bit words go through as two EXACT 8-bit planes (0xFFFF in one
-    # bf16 pass would round to 65536 and corrupt every bit); stacking the
-    # planes along the output columns makes the contraction a full
-    # 128-wide (2*LW) MXU tile instead of two half-wide passes (round 4)
-    winblk = jnp.concatenate(
-        [win_scratch[slot, :, w * LANES:w * LANES + LW] for w in range(NW)],
-        axis=1)                                                   # [UB,NW*LW]
-    planes = jnp.concatenate(
-        [winblk & 0xFF, (winblk >> 8) & 0xFF], axis=1)        # [UB,2*NW*LW]
-    mm = jnp.dot(oh_u, planes.astype(jnp.bfloat16),
-                 preferred_element_type=jnp.float32)          # [C,2*NW*LW]
-    mask_rows = (mm[:, :NW * LW]
-                 + 256.0 * mm[:, NW * LW:]).astype(jnp.int32)     # [C,NW*LW]
-    # positives are bucketed into THIS chunk's item block (two-level layout,
-    # `make_records_grouped`): the one-hot contracts over BLK rows, not
-    # I_pad — per-chunk cost is catalog-size independent. Guard rows carry
-    # i_local+1 = 0 and can never match a column.
-    cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1)
-    oh_i = (i1 - 1 == cols_i).astype(jnp.bfloat16)                # [C,BLK]
-    tpr = tab_i[pl.ds(ibase, BLK), :]
-    tp = tpr if TBF16 else tpr.astype(jnp.bfloat16)
-    i_rows = jnp.dot(oh_i, tp, preferred_element_type=jnp.float32)
-
-    # ---- side-feature representations (`_rankfm.pyx:48-89` feature
-    # terms). The small packed factor tables (tab_uf/tab_if, VMEM) turn
-    # each block's feature rows into representation rows by ONE matmul;
-    # per-row reps are then gathered through the SAME one-hots. tab_if
-    # col F carries w_if, so ifrep col F is the feature bias x_if·w_if
-    # and rides the existing col-F bias pickup (user lane F == 1) ----
-    if HAS_UF:
-        xuf_blk = xuf_scr[:].astype(jnp.bfloat16)                 # [UB,128]
-        ufrep_blk = jnp.dot(xuf_blk, tab_uf[:].astype(jnp.bfloat16),
-                            preferred_element_type=jnp.float32)
-        ufrep_rows = jnp.dot(oh_u, ufrep_blk.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)  # [C,128]
-        xuf_rows = jnp.dot(oh_u, xuf_blk,
-                           preferred_element_type=jnp.float32)    # [C,128]
-        u_aug = u_rows + ufrep_rows
-    else:
-        u_aug = u_rows
-    if HAS_IF:
-        tif_b = tab_if[:].astype(jnp.bfloat16)
-        xif_pos = xif_pos_scr[:].astype(jnp.bfloat16)             # [BLK,128]
-        ifrep_pos = jnp.dot(xif_pos, tif_b,
-                            preferred_element_type=jnp.float32)   # [BLK,128]
-        ifrep_rows = jnp.dot(oh_i, ifrep_pos.astype(jnp.bfloat16),
-                             preferred_element_type=jnp.float32)  # [C,128]
-        xif_rows_i = jnp.dot(oh_i, xif_pos,
-                             preferred_element_type=jnp.float32)  # [C,128]
-        i_tot = i_rows + ifrep_rows
-        xif_win = xif_win_scr[:].astype(jnp.bfloat16)             # [W2,128]
-        ifrep_win = jnp.dot(xif_win, tif_b,
-                            preferred_element_type=jnp.float32)   # [W2,128]
-        tw_tot = (tw.astype(jnp.float32) + ifrep_win).astype(jnp.bfloat16)
-    else:
-        i_tot = i_rows
-        tw_tot = tw
-
-    ut_ui = jnp.sum(u_aug * i_tot, axis=1, keepdims=True)         # [C,1]
-    if HAS_UF and HAS_IF:
-        # the reference FM has NO user-feature x item-feature second-order
-        # term (`rankfm.py:214-244` groups) — remove the cross term the
-        # augmented dot introduced
-        ut_ui -= jnp.sum(ufrep_rows * ifrep_rows, axis=1, keepdims=True)
-
-    # ---- score the windows; pairwise utility over all window slots ----
-    all_w = jax.lax.dot_general(
-        u_aug.astype(jnp.bfloat16), tw_tot,
-        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [C,W2]
-    if HAS_UF and HAS_IF:
-        all_w -= jax.lax.dot_general(
-            ufrep_rows.astype(jnp.bfloat16), ifrep_win.astype(jnp.bfloat16),
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    pw = ut_ui - all_w                                                 # [C,W2]
-
-    # ---- window membership from packed bits (int ops only; the blocked
-    # 16-bit layout tiles per WINDOW, so extract each window separately) ----
-    col1 = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1)
-    nonmem = jnp.concatenate([
-        ((pltpu.repeat(mask_rows[:, w * LW:(w + 1) * LW],
-                       BITS_PER_LANE, axis=1)
-          >> (col1 >> lg_lw)) & 1) == 0
-        for w in range(NW)], axis=1)                                   # [C,W2]
-    # NOTE on window collisions (same block drawn twice): items then hold
-    # two slots AND n_nonmem doubles — the per-item draw probability stays
-    # uniform over the sampled multiset, so no correction is needed.
-
-    u01 = (pltpu.bitcast(pltpu.prng_random_bits((C, W2)), jnp.int32)
-           .astype(jnp.float32) * (2.0 ** -32) + 0.5)                  # U[0,1)
-
-    if M == 1:
-        # BPR: j = uniform window non-member (`rankfm.py:294-297`)
-        key = jnp.where(nonmem, u01, -jnp.inf)
-        mult_c = math.log(max(num_items - 1, 1)) / log_I
-        mult = jnp.full((C, 1), mult_c, jnp.float32)
-    else:
-        viol = (pw < MARGIN) & nonmem                                  # [C,W2]
-        violf = viol.astype(jnp.float32)
-        nonmemf = nonmem.astype(jnp.float32)
-        nv = jnp.sum(violf, axis=1, keepdims=True)                     # [C,1]
-        n_nonmem = jnp.sum(nonmemf, axis=1, keepdims=True)
-
-        # exact WARP draw count: sampled ~ min(M, 1 + Geometric(p))
-        rbits = pltpu.bitcast(pltpu.prng_random_bits((C, LANES)), jnp.int32)
-        r1 = rbits[:, 0:1].astype(jnp.float32) * (2.0 ** -32) + 0.5
-        p = nv / jnp.maximum(n_nonmem, 1.0)
-        p_c = jnp.clip(p, 1e-9, 1.0 - 1e-7)
-        geo = jnp.floor(jnp.log(jnp.maximum(1.0 - r1, 1e-30))
-                        / jnp.log(1.0 - p_c)) + 1.0
-        geo = jnp.where(nv > 0, geo, jnp.float32(M))
-        found = (nv > 0) & (geo <= M)                                  # [C,1]
-        sampled = jnp.minimum(geo, jnp.float32(M))
-
-        # uniform violator when found; else the reference's fallback —
-        # "hardest of max_samples uniform draws" (`_rankfm.pyx:259-268`) —
-        # emulated exactly: Bernoulli-subsample the window non-members at
-        # rate M/n_nonmem (= M uniform draws in expectation) and take the
-        # hardest inside the subset; items outside the subset ride 1e6
-        # lower so the global hardest backstops an empty subset. (Both a
-        # deterministic global argmax and a heavily-noised argmax measurably
-        # hurt ranking quality — too concentrated / too diffuse.)
-        pthr = jnp.float32(M) / jnp.maximum(n_nonmem, 1.0)        # [C,1]
-        off_subset = (u01 >= pthr).astype(jnp.float32) * 1e6
-        key = jnp.where(
-            found,
-            jnp.where(viol, u01, -jnp.inf),
-            jnp.where(nonmem & ~viol, -pw - off_subset, -jnp.inf),
-        )
-        ratio = jnp.maximum(jnp.floor((num_items - 1) / sampled), 1.0)
-        mult = jnp.log(ratio) / log_I                                  # [C,1]
-
-    mx = jnp.max(key, axis=1, keepdims=True)                           # [C,1]
-    oh_j = ((key == mx) & (key > -jnp.inf)).astype(jnp.float32) * valid
-    cnt_j = jnp.sum(oh_j, axis=1, keepdims=True)
-    oh_jb = (oh_j / jnp.maximum(cnt_j, 1.0)).astype(jnp.bfloat16)      # tie-split
-    has_j = (cnt_j > 0).astype(jnp.float32)
-
-    j_rows = jnp.dot(oh_jb, tw, preferred_element_type=jnp.float32)    # [C,128]
-    if HAS_IF:
-        j_tot = jnp.dot(oh_jb, tw_tot, preferred_element_type=jnp.float32)
-    else:
-        j_tot = j_rows
-    ut_uj = jnp.sum(u_aug * j_tot, axis=1, keepdims=True)              # [C,1]
-    if HAS_UF and HAS_IF:
-        ut_uj -= jnp.sum(ufrep_rows * (j_tot - j_rows),
-                         axis=1, keepdims=True)
-    pw_sel = ut_ui - ut_uj                                             # [C,1]
-
-    # ---- outer derivative, log-likelihood (`_rankfm.pyx:269-276`) ----
-    d = valid * has_j * sw * mult * jax.nn.sigmoid(-pw_sel)            # [C,1]
-    ll_acc[0] += jnp.sum(valid * has_j * jax.nn.log_sigmoid(pw_sel))
-
-    # ---- gradient rows + one-hot scatter-adds (MXU). Per-row touch
-    # counts ride in SPARE gradient columns (col F of the user rows is
-    # re-set to 1 after the update; col F+1 of the item rows is zeroed),
-    # so no separate count matmul passes over the one-hots are needed.
-    # With side features the v_u gradient is the FULL utility derivative
-    # (v_i + if_rep diff) and the v_i gradient is the augmented user
-    # vector (v_u + uf_rep) — `_rankfm.pyx:279-326` ----
-    lane = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 1)
-    g_u = d * (i_tot - j_tot)
-    g_u = jnp.where(lane == F, valid, g_u)       # col F carries touch count
-    g_ip = d * u_aug                             # col F = d = bias grad
-    g_ip = jnp.where(lane == F + 1, valid, g_ip)
-
-    def _store_tab(val):
+        # [NW*BLK, 128] window rows (concat of the NW table slices)
+        tws = [tab_i[pl.ds(b, BLK), :] for b in boffs]
+        tw = jnp.concatenate(tws, axis=0)
         if not TBF16:
-            return val
-        bits = pltpu.bitcast(pltpu.prng_random_bits(val.shape), jnp.uint32)
-        return pltpu.stochastic_round(val, bits, target_dtype=jnp.bfloat16)
+            tw = tw.astype(jnp.bfloat16)
+        W2 = NW * BLK
 
-    # per-touch L2 decay over k touches in the chunk, geometric-corrected:
-    #   w <- c^k w + eta (1-c^k)/(k(1-c)) sum(g),  c = 1 - eta*2*alpha
-    # (same form the feature tables use below). The naive linearization
-    # (1 - dreg*k) goes NEGATIVE when dreg*k > 1 — a power user whose
-    # chunk holds hundreds of rows, or a hot item drawn as the negative by
-    # much of the chunk, would sign-flip and diverge where the reference's
-    # per-touch (1-dreg)^k stays in (0, 1).
-    cdec_r = jnp.maximum(1.0 - dreg, 1e-8)
-    ldec_r = jnp.log(cdec_r)
+        # ---- one-hot gathers (MXU). The fit-time layout buckets every chunk's
+        # rows into ONE user block (see `make_records_grouped`), so the user
+        # one-hot contracts over UB rows, not U_pad. Validity masks keep
+        # per-block pad slots out of the counts ----
+        cols_u = jax.lax.broadcasted_iota(jnp.int32, (C, UB), 1)
+        oh_uf = (u == cols_u).astype(jnp.float32) * valid             # [C,UB] f32
+        oh_u = oh_uf.astype(jnp.bfloat16)
+        tur = tab_u[pl.ds(ubase, UB), :]
+        u_rows = jnp.dot(oh_u, tur if TBF16 else tur.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)          # [C,128]
+        # window membership words for the chunk's users, via the SAME one-hot —
+        # all NW windows in ONE matmul. The MXU runs bf16 passes, so the
+        # 16-bit words go through as two EXACT 8-bit planes (0xFFFF in one
+        # bf16 pass would round to 65536 and corrupt every bit); stacking the
+        # planes along the output columns makes the contraction a full
+        # 128-wide (2*LW) MXU tile instead of two half-wide passes (round 4)
+        winblk = jnp.concatenate(
+            [win_scratch[slot, :, w * LANES:w * LANES + LW] for w in range(NW)],
+            axis=1)                                                   # [UB,NW*LW]
+        planes = jnp.concatenate(
+            [winblk & 0xFF, (winblk >> 8) & 0xFF], axis=1)        # [UB,2*NW*LW]
+        mm = jnp.dot(oh_u, planes.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)          # [C,2*NW*LW]
+        mask_rows = (mm[:, :NW * LW]
+                     + 256.0 * mm[:, NW * LW:]).astype(jnp.int32)     # [C,NW*LW]
+        # positives are bucketed into THIS chunk's item block (two-level layout,
+        # `make_records_grouped`): the one-hot contracts over BLK rows, not
+        # I_pad — per-chunk cost is catalog-size independent. Guard rows carry
+        # i_local+1 = 0 and can never match a column.
+        cols_i = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1)
+        oh_i = (i1 - 1 == cols_i).astype(jnp.bfloat16)                # [C,BLK]
+        tpr = tab_i[pl.ds(ibase, BLK), :]
+        tp = tpr if TBF16 else tpr.astype(jnp.bfloat16)
+        i_rows = jnp.dot(oh_i, tp, preferred_element_type=jnp.float32)
 
-    def _geo_row(cnt):
-        ck = jnp.exp(cnt * ldec_r)
-        denom = cnt * (1.0 - cdec_r)
-        f = jnp.where(denom > 1e-12,
-                      (1.0 - ck) / jnp.maximum(denom, 1e-12), 1.0)
-        return ck, eta * f
+        # ---- side-feature representations (`_rankfm.pyx:48-89` feature
+        # terms). The small packed factor tables (tab_uf/tab_if, VMEM) turn
+        # each block's feature rows into representation rows by ONE matmul;
+        # per-row reps are then gathered through the SAME one-hots. tab_if
+        # col F carries w_if, so ifrep col F is the feature bias x_if·w_if
+        # and rides the existing col-F bias pickup (user lane F == 1) ----
+        if HAS_UF:
+            xuf_blk = xuf_scr[:].astype(jnp.bfloat16)                 # [UB,128]
+            ufrep_blk = jnp.dot(xuf_blk, tab_uf[:].astype(jnp.bfloat16),
+                                preferred_element_type=jnp.float32)
+            ufrep_rows = jnp.dot(oh_u, ufrep_blk.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)  # [C,128]
+            xuf_rows = jnp.dot(oh_u, xuf_blk,
+                               preferred_element_type=jnp.float32)    # [C,128]
+            u_aug = u_rows + ufrep_rows
+        else:
+            u_aug = u_rows
+        if HAS_IF:
+            tif_b = tab_if[:].astype(jnp.bfloat16)
+            xif_pos = xif_pos_scr[:].astype(jnp.bfloat16)             # [BLK,128]
+            ifrep_pos = jnp.dot(xif_pos, tif_b,
+                                preferred_element_type=jnp.float32)   # [BLK,128]
+            ifrep_rows = jnp.dot(oh_i, ifrep_pos.astype(jnp.bfloat16),
+                                 preferred_element_type=jnp.float32)  # [C,128]
+            xif_rows_i = jnp.dot(oh_i, xif_pos,
+                                 preferred_element_type=jnp.float32)  # [C,128]
+            i_tot = i_rows + ifrep_rows
+            xif_win = xif_win_scr[:].astype(jnp.bfloat16)             # [W2,128]
+            ifrep_win = jnp.dot(xif_win, tif_b,
+                                preferred_element_type=jnp.float32)   # [W2,128]
+            tw_tot = (tw.astype(jnp.float32) + ifrep_win).astype(jnp.bfloat16)
+        else:
+            i_tot = i_rows
+            tw_tot = tw
 
-    scat_u = jax.lax.dot_general(oh_u, g_u.astype(jnp.bfloat16),
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    count_u = scat_u[:, F:F + 1]                                  # [UB,1]
-    ck_u, gf_u = _geo_row(count_u)
-    tub = tab_u[pl.ds(ubase, UB), :].astype(jnp.float32)
-    tab_u[pl.ds(ubase, UB), :] = _store_tab(tub * ck_u + gf_u * scat_u)
-    tab_u[pl.ds(ubase, UB), F:F + 1] = jnp.ones(
-        (UB, 1), jnp.bfloat16 if TBF16 else jnp.float32)
+        ut_ui = jnp.sum(u_aug * i_tot, axis=1, keepdims=True)         # [C,1]
+        if HAS_UF and HAS_IF:
+            # the reference FM has NO user-feature x item-feature second-order
+            # term (`rankfm.py:214-244` groups) — remove the cross term the
+            # augmented dot introduced
+            ut_ui -= jnp.sum(ufrep_rows * ifrep_rows, axis=1, keepdims=True)
 
-    zero_col = jnp.zeros((BLK, 1), jnp.bfloat16 if TBF16 else jnp.float32)
-    scat_i = jax.lax.dot_general(oh_i, g_ip.astype(jnp.bfloat16),
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-    count_i = scat_i[:, F + 1:F + 2]                              # [BLK,1]
-    ck_i, gf_i = _geo_row(count_i)
-    tpf = tab_i[pl.ds(ibase, BLK), :].astype(jnp.float32)
-    tab_i[pl.ds(ibase, BLK), :] = _store_tab(tpf * ck_i + gf_i * scat_i)
-    tab_i[pl.ds(ibase, BLK), F + 1:F + 2] = zero_col
+        # ---- score the windows; pairwise utility over all window slots ----
+        all_w = jax.lax.dot_general(
+            u_aug.astype(jnp.bfloat16), tw_tot,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)  # [C,W2]
+        if HAS_UF and HAS_IF:
+            all_w -= jax.lax.dot_general(
+                ufrep_rows.astype(jnp.bfloat16), ifrep_win.astype(jnp.bfloat16),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        pw = ut_ui - all_w                                                 # [C,W2]
 
-    g_j = jnp.where(lane == F + 1, valid * has_j, -g_ip)
-    scat_j = jax.lax.dot_general(oh_jb, g_j.astype(jnp.bfloat16),
-                                 (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)   # [W2,128]
-    for w in range(NW):
-        sj = scat_j[w * BLK:(w + 1) * BLK, :]
-        count_j = sj[:, F + 1:F + 2]
-        ck_j, gf_j = _geo_row(count_j)
-        twf = tab_i[pl.ds(boffs[w], BLK), :].astype(jnp.float32)
-        tab_i[pl.ds(boffs[w], BLK), :] = _store_tab(twf * ck_j + gf_j * sj)
-        tab_i[pl.ds(boffs[w], BLK), F + 1:F + 2] = zero_col
+        # ---- window membership from packed bits (int ops only; the blocked
+        # 16-bit layout tiles per WINDOW, so extract each window separately) ----
+        col1 = jax.lax.broadcasted_iota(jnp.int32, (C, BLK), 1)
+        nonmem = jnp.concatenate([
+            ((pltpu.repeat(mask_rows[:, w * LW:(w + 1) * LW],
+                           BITS_PER_LANE, axis=1)
+              >> (col1 >> lg_lw)) & 1) == 0
+            for w in range(NW)], axis=1)                                   # [C,W2]
+        # NOTE on window collisions (same block drawn twice): items then hold
+        # two slots AND n_nonmem doubles — the per-item draw probability stays
+        # uniform over the sampled multiset, so no correction is needed.
 
-    # ---- feature-factor table updates (dense, VMEM-resident). Each is a
-    # [C,*]^T @ [C,128] MXU contraction: row q of the gradient is
-    # sum_c x[c,q] * d_c * (payload rows). Per-touch beta decay counts a
-    # touch per sample whose feature value is nonzero, on the positive
-    # AND on the negative side — the reference's separate i/j feature
-    # loops (`_rankfm.pyx:303-326`), linearized per chunk ----
-    if HAS_UF or HAS_IF:
-        touch = (valid * has_j).astype(jnp.bfloat16)              # [C,1]
-        dregb = dreg_ref[1]                                       # eta*2*beta
-        # feature columns are DENSE: one column can be touched by every
-        # row of the chunk (e.g. a popular department). Same
-        # geometric-corrected per-touch form as the row tables above,
-        # validated against the reference by the XLA step
-        # (`ops/training.py:_decay_apply`):
-        #   w <- c^k w + eta (1-c^k)/(k(1-c)) sum(g),  c = 1 - eta*2*beta
-        # preserving the reference's decay rate AND fixed point.
-        cdec = jnp.maximum(1.0 - dregb, 1e-8)
-        ldecay = jnp.log(cdec)
-        n_ok = jnp.sum(valid * has_j)                             # scalar
+        u01 = (pltpu.bitcast(pltpu.prng_random_bits((C, W2)), jnp.int32)
+               .astype(jnp.float32) * (2.0 ** -32) + 0.5)                  # U[0,1)
 
-        def _geo(cnt):
-            ck = jnp.exp(cnt * ldecay)
-            denom = cnt * (1.0 - cdec)
+        if M == 1:
+            # BPR: j = uniform window non-member (`rankfm.py:294-297`)
+            key = jnp.where(nonmem, u01, -jnp.inf)
+            mult_c = math.log(max(num_items - 1, 1)) / log_I
+            mult = jnp.full((C, 1), mult_c, jnp.float32)
+        else:
+            viol = (pw < MARGIN) & nonmem                                  # [C,W2]
+            violf = viol.astype(jnp.float32)
+            nonmemf = nonmem.astype(jnp.float32)
+            nv = jnp.sum(violf, axis=1, keepdims=True)                     # [C,1]
+            n_nonmem = jnp.sum(nonmemf, axis=1, keepdims=True)
+
+            # exact WARP draw count: sampled ~ min(M, 1 + Geometric(p))
+            rbits = pltpu.bitcast(pltpu.prng_random_bits((C, LANES)), jnp.int32)
+            r1 = rbits[:, 0:1].astype(jnp.float32) * (2.0 ** -32) + 0.5
+            p = nv / jnp.maximum(n_nonmem, 1.0)
+            p_c = jnp.clip(p, 1e-9, 1.0 - 1e-7)
+            geo = jnp.floor(jnp.log(jnp.maximum(1.0 - r1, 1e-30))
+                            / jnp.log(1.0 - p_c)) + 1.0
+            geo = jnp.where(nv > 0, geo, jnp.float32(M))
+            found = (nv > 0) & (geo <= M)                                  # [C,1]
+            sampled = jnp.minimum(geo, jnp.float32(M))
+
+            # uniform violator when found; else the reference's fallback —
+            # "hardest of max_samples uniform draws" (`_rankfm.pyx:259-268`) —
+            # emulated exactly: Bernoulli-subsample the window non-members at
+            # rate M/n_nonmem (= M uniform draws in expectation) and take the
+            # hardest inside the subset; items outside the subset ride 1e6
+            # lower so the global hardest backstops an empty subset. (Both a
+            # deterministic global argmax and a heavily-noised argmax measurably
+            # hurt ranking quality — too concentrated / too diffuse.)
+            pthr = jnp.float32(M) / jnp.maximum(n_nonmem, 1.0)        # [C,1]
+            off_subset = (u01 >= pthr).astype(jnp.float32) * 1e6
+            key = jnp.where(
+                found,
+                jnp.where(viol, u01, -jnp.inf),
+                jnp.where(nonmem & ~viol, -pw - off_subset, -jnp.inf),
+            )
+            ratio = jnp.maximum(jnp.floor((num_items - 1) / sampled), 1.0)
+            mult = jnp.log(ratio) / log_I                                  # [C,1]
+
+        mx = jnp.max(key, axis=1, keepdims=True)                           # [C,1]
+        oh_j = ((key == mx) & (key > -jnp.inf)).astype(jnp.float32) * valid
+        cnt_j = jnp.sum(oh_j, axis=1, keepdims=True)
+        oh_jb = (oh_j / jnp.maximum(cnt_j, 1.0)).astype(jnp.bfloat16)      # tie-split
+        has_j = (cnt_j > 0).astype(jnp.float32)
+
+        j_rows = jnp.dot(oh_jb, tw, preferred_element_type=jnp.float32)    # [C,128]
+        if HAS_IF:
+            j_tot = jnp.dot(oh_jb, tw_tot, preferred_element_type=jnp.float32)
+        else:
+            j_tot = j_rows
+        ut_uj = jnp.sum(u_aug * j_tot, axis=1, keepdims=True)              # [C,1]
+        if HAS_UF and HAS_IF:
+            ut_uj -= jnp.sum(ufrep_rows * (j_tot - j_rows),
+                             axis=1, keepdims=True)
+        pw_sel = ut_ui - ut_uj                                             # [C,1]
+
+        # ---- outer derivative, log-likelihood (`_rankfm.pyx:269-276`) ----
+        d = valid * has_j * sw * mult * jax.nn.sigmoid(-pw_sel)            # [C,1]
+        ll_acc[0] += jnp.sum(valid * has_j * jax.nn.log_sigmoid(pw_sel))
+
+        # ---- gradient rows + one-hot scatter-adds (MXU). Per-row touch
+        # counts ride in SPARE gradient columns (col F of the user rows is
+        # re-set to 1 after the update; col F+1 of the item rows is zeroed),
+        # so no separate count matmul passes over the one-hots are needed.
+        # With side features the v_u gradient is the FULL utility derivative
+        # (v_i + if_rep diff) and the v_i gradient is the augmented user
+        # vector (v_u + uf_rep) — `_rankfm.pyx:279-326` ----
+        lane = jax.lax.broadcasted_iota(jnp.int32, (C, LANES), 1)
+        g_u = d * (i_tot - j_tot)
+        g_u = jnp.where(lane == F, valid, g_u)       # col F carries touch count
+        g_ip = d * u_aug                             # col F = d = bias grad
+        g_ip = jnp.where(lane == F + 1, valid, g_ip)
+
+        def _store_tab(val):
+            if not TBF16:
+                return val
+            bits = pltpu.bitcast(pltpu.prng_random_bits(val.shape), jnp.uint32)
+            return pltpu.stochastic_round(val, bits, target_dtype=jnp.bfloat16)
+
+        # per-touch L2 decay over k touches in the chunk, geometric-corrected:
+        #   w <- c^k w + eta (1-c^k)/(k(1-c)) sum(g),  c = 1 - eta*2*alpha
+        # (same form the feature tables use below). The naive linearization
+        # (1 - dreg*k) goes NEGATIVE when dreg*k > 1 — a power user whose
+        # chunk holds hundreds of rows, or a hot item drawn as the negative by
+        # much of the chunk, would sign-flip and diverge where the reference's
+        # per-touch (1-dreg)^k stays in (0, 1).
+        cdec_r = jnp.maximum(1.0 - dreg, 1e-8)
+        ldec_r = jnp.log(cdec_r)
+
+        def _geo_row(cnt):
+            ck = jnp.exp(cnt * ldec_r)
+            denom = cnt * (1.0 - cdec_r)
             f = jnp.where(denom > 1e-12,
                           (1.0 - ck) / jnp.maximum(denom, 1e-12), 1.0)
             return ck, eta * f
-    if HAS_IF:
-        # payload d*u_rows: cols 0..F-1 = d*v_u (v_if grad), col F = d
-        # (w_if grad — user lane F is the constant 1)
-        du = (d * u_rows).astype(jnp.bfloat16)
-        xif_rows_j = jnp.dot(oh_jb, xif_win,
-                             preferred_element_type=jnp.float32)  # [C,128]
-        g_if = (jax.lax.dot_general(
-                    xif_rows_i.astype(jnp.bfloat16), du,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                - jax.lax.dot_general(
-                    xif_rows_j.astype(jnp.bfloat16), du,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32))          # [128,128]
-        # v_if[q] is touched once per sample with a nonzero feature
-        # DIFFERENCE (`_rankfm.pyx:321-326`); w_if[q] (col F) decays once
-        # per sample for EVERY q — the reference's w_if loop has no
-        # zero-skip (`_rankfm.pyx:283-286`)
-        cnt_if = jax.lax.dot_general(
-            (xif_rows_i != xif_rows_j).astype(jnp.bfloat16), touch,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [128,1]
-        ck_v, gf_v = _geo(cnt_if)
-        ck_w, gf_w = _geo(n_ok)
-        lane_q = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
-        decay_m = jnp.where(lane_q == F, ck_w, ck_v)
-        gfac_m = jnp.where(lane_q == F, gf_w, gf_v)
-        tab_if[:, :] = tab_if[:, :] * decay_m + gfac_m * g_if
-    if HAS_UF:
-        # v_uf grad payload: d * RAW (v_i[i] - v_i[j]) (`_rankfm.pyx`
-        # v_uf lines use the raw item factors). Col F picks up
-        # d*(w_i - w_j) garbage — zeroed so the score-side constant-1
-        # pickup lane stays clean.
-        gv = (d * (i_rows - j_rows)).astype(jnp.bfloat16)
-        g_uf = jax.lax.dot_general(
-            xuf_rows.astype(jnp.bfloat16), gv,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [128,128]
-        cnt_uf = jax.lax.dot_general(
-            (xuf_rows != 0).astype(jnp.bfloat16), touch,
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)                   # [128,1]
-        ck_u, gf_u = _geo(cnt_uf)
-        tab_uf[:, :] = tab_uf[:, :] * ck_u + gf_u * g_uf
-        tab_uf[:, F:F + 1] = jnp.zeros((LANES, 1), jnp.float32)
+
+        scat_u = jax.lax.dot_general(oh_u, g_u.astype(jnp.bfloat16),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        count_u = scat_u[:, F:F + 1]                                  # [UB,1]
+        ck_u, gf_u = _geo_row(count_u)
+        tub = tab_u[pl.ds(ubase, UB), :].astype(jnp.float32)
+        tab_u[pl.ds(ubase, UB), :] = _store_tab(tub * ck_u + gf_u * scat_u)
+        tab_u[pl.ds(ubase, UB), F:F + 1] = jnp.ones(
+            (UB, 1), jnp.bfloat16 if TBF16 else jnp.float32)
+
+        zero_col = jnp.zeros((BLK, 1), jnp.bfloat16 if TBF16 else jnp.float32)
+        scat_i = jax.lax.dot_general(oh_i, g_ip.astype(jnp.bfloat16),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        count_i = scat_i[:, F + 1:F + 2]                              # [BLK,1]
+        ck_i, gf_i = _geo_row(count_i)
+        tpf = tab_i[pl.ds(ibase, BLK), :].astype(jnp.float32)
+        tab_i[pl.ds(ibase, BLK), :] = _store_tab(tpf * ck_i + gf_i * scat_i)
+        tab_i[pl.ds(ibase, BLK), F + 1:F + 2] = zero_col
+
+        g_j = jnp.where(lane == F + 1, valid * has_j, -g_ip)
+        scat_j = jax.lax.dot_general(oh_jb, g_j.astype(jnp.bfloat16),
+                                     (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)   # [W2,128]
+        for w in range(NW):
+            sj = scat_j[w * BLK:(w + 1) * BLK, :]
+            count_j = sj[:, F + 1:F + 2]
+            ck_j, gf_j = _geo_row(count_j)
+            twf = tab_i[pl.ds(boffs[w], BLK), :].astype(jnp.float32)
+            tab_i[pl.ds(boffs[w], BLK), :] = _store_tab(twf * ck_j + gf_j * sj)
+            tab_i[pl.ds(boffs[w], BLK), F + 1:F + 2] = zero_col
+
+        # ---- feature-factor table updates (dense, VMEM-resident). Each is a
+        # [C,*]^T @ [C,128] MXU contraction: row q of the gradient is
+        # sum_c x[c,q] * d_c * (payload rows). Per-touch beta decay counts a
+        # touch per sample whose feature value is nonzero, on the positive
+        # AND on the negative side — the reference's separate i/j feature
+        # loops (`_rankfm.pyx:303-326`), linearized per chunk ----
+        if HAS_UF or HAS_IF:
+            touch = (valid * has_j).astype(jnp.bfloat16)              # [C,1]
+            dregb = dreg_ref[1]                                       # eta*2*beta
+            # feature columns are DENSE: one column can be touched by every
+            # row of the chunk (e.g. a popular department). Same
+            # geometric-corrected per-touch form as the row tables above,
+            # validated against the reference by the XLA step
+            # (`ops/training.py:_decay_apply`):
+            #   w <- c^k w + eta (1-c^k)/(k(1-c)) sum(g),  c = 1 - eta*2*beta
+            # preserving the reference's decay rate AND fixed point.
+            cdec = jnp.maximum(1.0 - dregb, 1e-8)
+            ldecay = jnp.log(cdec)
+            n_ok = jnp.sum(valid * has_j)                             # scalar
+
+            def _geo(cnt):
+                ck = jnp.exp(cnt * ldecay)
+                denom = cnt * (1.0 - cdec)
+                f = jnp.where(denom > 1e-12,
+                              (1.0 - ck) / jnp.maximum(denom, 1e-12), 1.0)
+                return ck, eta * f
+        if HAS_IF:
+            # payload d*u_rows: cols 0..F-1 = d*v_u (v_if grad), col F = d
+            # (w_if grad — user lane F is the constant 1)
+            du = (d * u_rows).astype(jnp.bfloat16)
+            xif_rows_j = jnp.dot(oh_jb, xif_win,
+                                 preferred_element_type=jnp.float32)  # [C,128]
+            g_if = (jax.lax.dot_general(
+                        xif_rows_i.astype(jnp.bfloat16), du,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    - jax.lax.dot_general(
+                        xif_rows_j.astype(jnp.bfloat16), du,
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32))          # [128,128]
+            # v_if[q] is touched once per sample with a nonzero feature
+            # DIFFERENCE (`_rankfm.pyx:321-326`); w_if[q] (col F) decays once
+            # per sample for EVERY q — the reference's w_if loop has no
+            # zero-skip (`_rankfm.pyx:283-286`)
+            cnt_if = jax.lax.dot_general(
+                (xif_rows_i != xif_rows_j).astype(jnp.bfloat16), touch,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                   # [128,1]
+            ck_v, gf_v = _geo(cnt_if)
+            ck_w, gf_w = _geo(n_ok)
+            lane_q = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+            decay_m = jnp.where(lane_q == F, ck_w, ck_v)
+            gfac_m = jnp.where(lane_q == F, gf_w, gf_v)
+            tab_if[:, :] = tab_if[:, :] * decay_m + gfac_m * g_if
+        if HAS_UF:
+            # v_uf grad payload: d * RAW (v_i[i] - v_i[j]) (`_rankfm.pyx`
+            # v_uf lines use the raw item factors). Col F picks up
+            # d*(w_i - w_j) garbage — zeroed so the score-side constant-1
+            # pickup lane stays clean.
+            gv = (d * (i_rows - j_rows)).astype(jnp.bfloat16)
+            g_uf = jax.lax.dot_general(
+                xuf_rows.astype(jnp.bfloat16), gv,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                   # [128,128]
+            cnt_uf = jax.lax.dot_general(
+                (xuf_rows != 0).astype(jnp.bfloat16), touch,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                   # [128,1]
+            ck_u, gf_u = _geo(cnt_uf)
+            tab_uf[:, :] = tab_uf[:, :] * ck_u + gf_u * g_uf
+            tab_uf[:, F:F + 1] = jnp.zeros((LANES, 1), jnp.float32)
+
+    # ---- drive the SUB sub-rounds (unrolled; SUB is static). With
+    # WDB >= 2 every virtual step's DMAs are issued one step ahead; when
+    # SUB is a WDB multiple the revolving slot is STATIC per sub-round
+    # (k % WDB == s % WDB), so slot indexing compiles to constants. ----
+    for s in range(SUB):
+        k = t * SUB + s if SUB > 1 else t
+        if WDB == 1:
+            slot = 0
+            issue(0, k)
+        else:
+            static_slots = SUB % WDB == 0
+            slot = (s % WDB) if static_slots else jax.lax.rem(k, WDB)
+            if s == 0:
+                # virtual step 0 has no predecessor to prefetch it
+                pl.when(t == 0)(lambda: issue(0, 0))
+            if s < SUB - 1:
+                # next sub-round of the SAME grid step: always exists
+                nslot = ((s + 1) % WDB) if static_slots \
+                    else jax.lax.rem(k + 1, WDB)
+                issue(nslot, k + 1)
+            else:
+                # first sub-round of the NEXT grid step
+                def _issue_next(k=k, static_slots=static_slots):
+                    nslot = 0 if static_slots else jax.lax.rem(k + 1, WDB)
+                    issue(nslot, k + 1)
+                pl.when(t + 1 < nT)(_issue_next)
+        _sub_round(k, slot, s)
 
     @pl.when(t == nT - 1)
     def _store():
@@ -992,7 +1018,7 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
 def make_fused_batch_fn(num_users, num_items, factors, max_samples,
                         batch_size, chunk=128, table_bf16=False,
                         has_uf=False, has_if=False, n_windows=None,
-                        ub=None):
+                        ub=None, sub=1):
     """Build ``fn(tab_u, tab_i, rec, win_cols, chunkids, blk, ublk, iblk,
     seed, eta, dreg, x_uf, x_if, tab_uf, tab_if) ->
     (tab_u, tab_i, tab_uf, tab_if, ll)`` running one minibatch fully
@@ -1025,6 +1051,23 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     C = chunk
     assert batch_size % C == 0
     nT = batch_size // C
+    # SUB chunks per grid step (sequential sub-rounds inside the kernel,
+    # bitwise-identical trajectories to sub=1 — see `_sub_round`): the
+    # grid shrinks to nT/SUB, amortizing the fixed per-grid-step cost.
+    # Each grid step's record block is [SUB*C, 2] int32, lane-padded to
+    # 128 in VMEM (SUB x 128 KB x 2 pipeline buffers at C=256) — clamp
+    # SUB so the extra pipeline scratch keeps the total under the same
+    # ~15 MB budget `fused_table_mode` admits configs against.
+    width = 2 if table_bf16 else 4
+    base = _fused_vmem_bytes(num_users, num_items, width,
+                             default_n_windows(item_pad(num_items)
+                                               // block_size(num_items))
+                             if n_windows is None else n_windows,
+                             has_uf, has_if, ub=ub)
+    rec_budget = max(15 * 2**20 - base, 2 * C * LANES * 4)
+    sub_cap = max(1, int(rec_budget // (2 * C * LANES * 4)))
+    SUB = next(s for s in range(min(max(sub, 1), nT, sub_cap), 0, -1)
+               if nT % s == 0)
 
     # NW windows per chunk. With size-weighted window draws and uniform
     # slot selection over the UNION, NW > 1 skews per-item draw probability
@@ -1047,12 +1090,13 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
                    M=max_samples, C=C, BLK=BLK, NW=NW,
                    num_items=num_items, TBF16=table_bf16,
-                   HAS_UF=has_uf, HAS_IF=has_if, WDB=WDB)
+                   HAS_UF=has_uf, HAS_IF=has_if, WDB=WDB, SUB=SUB)
 
     in_specs = [
-        # the WHOLE epoch's record array; grid step t reads chunk
-        # chunkids[t] — the fit-time interleave costs zero data movement
-        pl.BlockSpec((C, 2), lambda t, cid: (cid[t], 0),
+        # the batch's records in VISIT order (the wrapper gathers chunk
+        # chunkids[k] to position k — one ~256 KB XLA gather per batch);
+        # grid step t's pipelined block carries its SUB chunks
+        pl.BlockSpec((SUB * C, 2), lambda t, cid: (t, 0),
                      memory_space=pltpu.VMEM),                             # rec
         pl.BlockSpec(memory_space=pltpu.HBM),                              # win cols
         pl.BlockSpec(memory_space=pltpu.SMEM),                             # blk
@@ -1127,7 +1171,7 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # chunkids: the interleaved chunk visit order
-        grid=(nT,),
+        grid=(nT // SUB,),
         in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
@@ -1145,6 +1189,14 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
 
     def fn(tab_u, tab_i, rec, win_cols, chunkids, blk, ublk, iblk,
            seed, eta, dreg, x_uf=None, x_if=None, tab_uf=None, tab_if=None):
+        # gather the batch's chunks into VISIT order (~256 KB): grid step
+        # t's pipelined record block then holds chunks chunkids[t*SUB ..]
+        # contiguously, so the kernel walks SUB chunks per step with
+        # static slices (the old per-step BlockSpec index map could fetch
+        # only ONE chunk per grid step). Chunk-granular rows (2 KB each,
+        # via reshape) keep the gather HBM-friendly.
+        rec = (rec.reshape(-1, 2 * C).at[chunkids]
+               .get(mode="promise_in_bounds").reshape(-1, 2))
         fin = [chunkids, rec, win_cols, blk, ublk, iblk, tab_u, tab_i]
         if has_uf:
             fin.append(x_uf)
@@ -1415,7 +1467,7 @@ def split_layout_for_mesh(cids, ublk, iblk, n_dev):
 def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
                         chunk=128, donate=True, table_bf16=False,
                         has_uf=False, has_if=False, n_windows=None,
-                        ub=None, pre_shuffled=False):
+                        ub=None, pre_shuffled=False, sub=1):
     """Whole-epoch driver around the fused kernel: one segmented-shuffle
     sort per epoch (the bucketed layout is fixed at fit time,
     `make_records_grouped`), then a `lax.scan` whose body is only the
@@ -1436,7 +1488,7 @@ def make_fused_epoch_fn(num_users, num_items, factors, max_samples, batch_size,
     batch_fn = make_fused_batch_fn(
         num_users, num_items, factors, max_samples, batch_size, chunk,
         table_bf16=table_bf16, has_uf=has_uf, has_if=has_if,
-        n_windows=n_windows, ub=ub)
+        n_windows=n_windows, ub=ub, sub=sub)
     one_epoch = _epoch_body(batch_fn, num_users, num_items, batch_size,
                             chunk, n_windows=n_windows, ub=ub,
                             pre_shuffled=pre_shuffled)

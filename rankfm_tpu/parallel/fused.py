@@ -44,7 +44,7 @@ def _mesh_dims(mesh):
 def _cached_fused_dp_epoch(mesh_key, num_users, num_items, factors,
                            max_samples, batch_size, chunk, table_bf16,
                            has_uf, has_if, n_windows, sync_every, ub=None,
-                           pre_shuffled=False):
+                           pre_shuffled=False, sub=1):
     mesh = mesh_key.mesh
     axes, sizes, n_dev = _mesh_dims(mesh)
     bs_dev = batch_size // n_dev
@@ -53,7 +53,7 @@ def _cached_fused_dp_epoch(mesh_key, num_users, num_items, factors,
     batch_fn = fused_mod.make_fused_batch_fn(
         num_users, num_items, factors, max_samples, bs_dev, chunk,
         table_bf16=table_bf16, has_uf=has_uf, has_if=has_if,
-        n_windows=n_windows, ub=ub)
+        n_windows=n_windows, ub=ub, sub=sub)
     return _build_dp_epoch(mesh, batch_fn, num_users, num_items, bs_dev,
                            chunk, has_uf, has_if, n_windows, sync_every,
                            ub=ub, pre_shuffled=pre_shuffled)
@@ -138,7 +138,8 @@ def _build_dp_epoch(mesh, batch_fn, num_users, num_items, bs_dev, chunk,
 def make_fused_dp_epoch_fn(mesh, num_users, num_items, factors, max_samples,
                            batch_size, chunk, table_bf16=False, has_uf=False,
                            has_if=False, n_windows=None, sync_every=1,
-                           batch_fn=None, ub=None, pre_shuffled=False):
+                           batch_fn=None, ub=None, pre_shuffled=False,
+                           sub=1):
     """Whole-epoch fused training compiled over the mesh, data-parallel.
 
     Same call signature as `rankfm_tpu.ops.fused.make_fused_epoch_fn`'s
@@ -161,4 +162,5 @@ def make_fused_dp_epoch_fn(mesh, num_users, num_items, factors, max_samples,
     return _cached_fused_dp_epoch(
         _MeshKey(mesh), num_users, num_items, factors, max_samples,
         batch_size, chunk, bool(table_bf16), bool(has_uf), bool(has_if),
-        n_windows, int(sync_every), ub=ub, pre_shuffled=bool(pre_shuffled))
+        n_windows, int(sync_every), ub=ub, pre_shuffled=bool(pre_shuffled),
+        sub=int(sub))

@@ -1,95 +1,123 @@
-"""Bound the explicit-TP machinery's overhead ON THE REAL CHIP (VERDICT r3
-next #4): run the table-parallel window and candidate epochs on a (1,1)
-TPU mesh against the plain single-chip XLA step at full ML-1M shape.
+"""Explicit-TP overhead measured ON THE REAL TPU via a (1,1) mesh.
 
-On one device every collective is a self-copy, so the measured delta is
-pure TP dispatch/exchange overhead — the on-hardware complement to the
-8-virtual-CPU-mesh partition-overhead rows in BENCHMARKS.md (+30% window /
-+83% candidate there, but that mesh shares host cores AND its collectives
-are memcpys; neither bound transfers to a TPU).
+The 8-virtual-device CPU mesh bounds the explicit table-parallel
+schedule's PARTITIONING overhead (+30% window / +83% candidate,
+`probe_mesh_scaling.py`), but says nothing about how the TP machinery's
+extra dispatch/exchange machinery behaves on actual TPU hardware. A
+(1,1) mesh runs the full TP program — owner-shard gather/scatter
+schedule, shard padding, psum sites (degenerate at S=1) — on the one
+real chip, so `t_tp / t_single` isolates the machinery's cost with zero
+collective traffic. Shapes are the ML-1M headline
+(`BENCHMARKS.md`: 6,040 x 3,706, F=20, M=20, B=8192).
 
-Forces the TP path by patching `parallel.train.uses_dp` to False (ML-1M
-tables are ~780 KB — far under the 256 MB DP threshold, so the planner
-would otherwise place DP/replicated).
-
-Run on TPU:  python tools/probe_tp_tpu.py
+Run (TPU): python tools/probe_tp_tpu.py
 """
 import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax  # noqa: E402
+import jax
+import jax.numpy as jnp
+import numpy as np
 
-from rankfm_tpu import RankFM  # noqa: E402
-from rankfm_tpu.parallel import train as train_mod  # noqa: E402
+from rankfm_tpu.ops.fused import pack_history_device
+from rankfm_tpu.ops.training import make_epoch_fn
+from rankfm_tpu.parallel.mesh import make_mesh
+from rankfm_tpu.parallel import tp as tp_mod
 
-U, I, N, EPOCHS = 6040, 3706, 749_724, 5
+U, I, F, M, n, bs = 6040, 3706, 20, 20, 749_724, 8192
 
-
-def make_data():
-    rng = np.random.default_rng(1492)
-    item_p = 1.0 / np.arange(1, I + 1) ** 0.9
-    item_p /= item_p.sum()
-    act = np.minimum(np.maximum(
-        rng.lognormal(mean=4.0, sigma=0.9, size=U), 20), 1500)
-    target = np.round(np.cumsum(act * (N / act.sum()))).astype(np.int64)
-    act = np.maximum(np.diff(np.concatenate([[0], target])), 5)
-    users = np.repeat(np.arange(U), act)[:N]
-    items = rng.choice(I, size=len(users), p=item_p)
-    return np.stack([users, items], 1).astype(np.int64)
-
-
-def timed_fit(model, inter):
-    t0 = time.time()
-    model.fit(inter, epochs=1)          # compile + first epoch
-    warm = time.time() - t0
-    best = 1e9
-    for _ in range(3):
-        t0 = time.time()
-        model.fit_partial(inter, epochs=EPOCHS)
-        best = min(best, (time.time() - t0) / EPOCHS)
-    return warm, best
+rng = np.random.default_rng(1492)
+w = {
+    "w_i": jnp.zeros(I), "w_if": jnp.zeros(1),
+    "v_u": jnp.asarray(rng.normal(0, .1, (U, F)).astype(np.float32)),
+    "v_i": jnp.asarray(rng.normal(0, .1, (I, F)).astype(np.float32)),
+    "v_uf": jnp.zeros((1, F)), "v_if": jnp.zeros((1, F)),
+}
+x_uf, x_if = jnp.zeros((U, 1)), jnp.zeros((I, 1))
+item_p = 1.0 / np.arange(1, I + 1) ** 0.9
+item_p /= item_p.sum()
+u = rng.integers(0, U, n).astype(np.int32)
+i = rng.choice(I, size=n, p=item_p).astype(np.int32)
+uniq = np.unique(np.stack([u, i], 1), axis=0)
+counts = np.bincount(uniq[:, 0], minlength=U)
+offsets = np.zeros(U + 1, np.int32)
+offsets[1:] = np.cumsum(counts)
+hist = pack_history_device(offsets, uniq[:, 1].astype(np.int32), U, I)
+mrl = int(counts.max())
 
 
 def main():
-    inter = make_data()
-    dev = jax.devices()[0]
-    print(f"device: {dev.platform} / {getattr(dev, 'device_kind', '?')}")
-    mesh11 = jax.sharding.Mesh(
-        np.array(jax.devices()[:1]).reshape(1, 1), ("data", "model"))
+    assert jax.devices()[0].platform == "tpu", "probe needs the TPU"
+    mesh = make_mesh(data=1, model=1)
+    args = (jnp.asarray(u), jnp.asarray(i), jnp.ones(n), n,
+            jnp.float32(0.1), jnp.float32(0.01), jnp.float32(0.1),
+            jax.random.PRNGKey(3), 0)
+
+    def best_of(run, k=5):
+        best = float("inf")
+        for _ in range(k):
+            t0 = time.time()
+            ll = run()
+            jax.block_until_ready(ll)
+            best = min(best, time.time() - t0)
+        return best
 
     results = {}
-    for step in ("window", "candidate"):
-        m = RankFM(factors=20, loss="warp", max_samples=20, alpha=0.01,
-                   sigma=0.1, learning_rate=0.1,
-                   learning_schedule="invscaling",
-                   use_fused=False, train_step=step)
-        warm, single = timed_fit(m, inter)
-        print(f"single-chip {step}: warm={warm:.1f}s epoch={single*1000:.0f} ms",
-              flush=True)
 
-        orig = train_mod.uses_dp
-        train_mod.uses_dp = lambda *a, **k: False   # force explicit TP
-        try:
-            mt = RankFM(factors=20, loss="warp", max_samples=20, alpha=0.01,
-                        sigma=0.1, learning_rate=0.1,
-                        learning_schedule="invscaling",
-                        use_fused=False, train_step=step, mesh=mesh11)
-            warm_tp, tp = timed_fit(mt, inter)
-        finally:
-            train_mod.uses_dp = orig
-        assert mt.last_fit_plan_.placement == "tp", mt.last_fit_plan_
-        print(f"TP(1,1)     {step}: warm={warm_tp:.1f}s epoch={tp*1000:.0f} ms "
-              f"-> overhead {100 * (tp / single - 1):+.0f}%", flush=True)
-        results[step] = (single, tp)
+    # ---- window step: single-device XLA vs explicit TP ----
+    single_w = make_epoch_fn(I, M, False, False, bs, donate=False,
+                             step_kind="window")
+    tp_w = tp_mod.tp_epoch_fn(mesh, I, M, False, False, bs,
+                              step_kind="window")
+    hist_w = {"packed": tp_mod.pad_packed_hist(mesh, hist, U)}
+    w_tp, xu_t, xi_t = tp_mod.pad_and_place(mesh, dict(w), np.asarray(x_uf),
+                                            np.asarray(x_if))
 
-    for step, (s, t) in results.items():
-        print(f"SUMMARY {step}: single={s*1000:.0f}ms tp={t*1000:.0f}ms "
-              f"overhead={100 * (t / s - 1):+.0f}%")
+    def run_single_w():
+        wc = {k_: v.copy() for k_, v in w.items()}
+        _, ll = single_w(wc, x_uf, x_if, hist, *args)
+        return ll
+
+    def run_tp_w():
+        wc = {k_: v.copy() for k_, v in w_tp.items()}
+        _, ll = tp_w(wc, xu_t, xi_t, hist_w, *args)
+        return ll
+
+    t1w = best_of(run_single_w)
+    ttw = best_of(run_tp_w)
+    results["window"] = (t1w, ttw)
+    print(f"window    | single {t1w*1e3:7.1f} ms | explicit TP (1,1) "
+          f"{ttw*1e3:7.1f} ms | overhead {(ttw/t1w-1)*100:+.0f}%")
+
+    # ---- candidate step: single-device XLA vs explicit TP ----
+    single_c = make_epoch_fn(I, M, False, False, bs, donate=False,
+                             step_kind="candidate", sampler="bsearch",
+                             max_row_len=mrl)
+    tp_c = tp_mod.tp_epoch_fn(mesh, I, M, False, False, bs,
+                              max_row_len=mrl)
+    hist_csr = {"offsets": jnp.asarray(offsets),
+                "flat": jnp.asarray(uniq[:, 1].astype(np.int32)),
+                "bitmap": jnp.zeros((1, 1), jnp.uint32)}
+
+    def run_single_c():
+        wc = {k_: v.copy() for k_, v in w.items()}
+        _, ll = single_c(wc, x_uf, x_if, hist_csr, *args)
+        return ll
+
+    def run_tp_c():
+        wc = {k_: v.copy() for k_, v in w_tp.items()}
+        _, ll = tp_c(wc, xu_t, xi_t, hist_csr, *args)
+        return ll
+
+    t1c = best_of(run_single_c)
+    ttc = best_of(run_tp_c)
+    results["candidate"] = (t1c, ttc)
+    print(f"candidate | single {t1c*1e3:7.1f} ms | explicit TP (1,1) "
+          f"{ttc*1e3:7.1f} ms | overhead {(ttc/t1c-1)*100:+.0f}%")
+    return results
 
 
 if __name__ == "__main__":
