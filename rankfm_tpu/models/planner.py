@@ -29,6 +29,7 @@ see the field docstrings and BENCHMARKS.md):
 from __future__ import annotations
 
 import os
+import warnings
 from dataclasses import dataclass
 from typing import Optional
 
@@ -200,7 +201,15 @@ def plan_fit(spec: FitSpec) -> FitPlan:
     # throughput-only knob; `make_fused_batch_fn` clamps it to a divisor
     # of chunks-per-batch that fits the VMEM pipeline budget.
     # RANKFM_TPU_SUB overrides for A/B probing.
-    sub = int(os.environ.get("RANKFM_TPU_SUB", DEFAULT_SUB)) if fused else 1
+    if fused:
+        try:
+            sub = int(os.environ.get("RANKFM_TPU_SUB", DEFAULT_SUB))
+        except ValueError:
+            warnings.warn("RANKFM_TPU_SUB is not an integer - using the "
+                          f"default ({DEFAULT_SUB})")
+            sub = DEFAULT_SUB
+    else:
+        sub = 1
     # R pre-computed shuffled layouts cycled across epochs amortize the
     # per-epoch segmented sort (~3 ms of the 26 ms ML-1M epoch; R fits in
     # R x 6 MB HBM). Windows, negative draws, and the chunk visit

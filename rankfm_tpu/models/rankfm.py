@@ -214,11 +214,21 @@ class _FitRun:
             })
 
     def run(self):
+        t0 = time.time()
         if self.plan.fused:
             self.run_fused()
         else:
             self.run_xla(range(self.epochs))
+        t_disp = time.time()
+        # epoch 0's call duration is where a cold AOT load / compile (and,
+        # over the remote pool, the first program load+execute) lands;
+        # grab it before finish() rewrites epoch_secs with the synced avg
+        ep0 = self.epoch_secs[0] if self.epoch_secs else 0.0
         self.finish()
+        tm = self.m.last_fit_timing_
+        tm["epoch0_call_s"] = round(ep0, 2)
+        tm["dispatch_s"] = round(t_disp - t0, 2)   # host-side: all epochs enqueued
+        tm["block_s"] = round(time.time() - t_disp, 2)  # device drain + ll sync
 
     # -- XLA engine (window/candidate/sharded steps) --
 
@@ -377,6 +387,7 @@ class _FitRun:
         bs, chunk, n_dev = plan.batch_size, plan.chunk, plan.n_dev
         ub = plan.user_block
         table_bf16 = plan.table_bf16
+        tm, tm0 = m.last_fit_timing_, time.time()
         U_pad = fused_mod.user_pad(U, ub)
         I_pad = fused_mod.item_pad(num_items)
         if m._packed_hist is None:
@@ -387,6 +398,7 @@ class _FitRun:
             m._win_cols = (ub, fused_mod.pack_win_cols(
                 m._packed_hist, U, num_items, ub=ub))
         win_cols = m._win_cols[1]
+        tm["hist_pack_s"] = round(time.time() - tm0, 2)
         w = m._weights
         tab_u, tab_i = fused_mod.extend_tables(
             w["w_i"], w["v_u"], w["v_i"], U_pad, I_pad, table_bf16)
@@ -412,6 +424,9 @@ class _FitRun:
             layout_dev = tuple(map(jnp.asarray, layout))
             m._rec_cache = (rec_key, layout_dev)
         rec_dev, group_dev, cids_dev, ublk_dev, iblk_dev = layout_dev
+        # grouped record layout: host numpy segmented shuffle + the
+        # multi-MB host->device puts (the puts only ENQUEUE here)
+        tm["records_s"] = round(time.time() - tm0 - tm["hist_pack_s"], 2)
         # R pre-computed shuffled layouts cycled across epochs (see
         # planner.FitPlan.shuffle_layouts): R sorts once per fit instead
         # of one per epoch; windows/negative streams stay per-epoch fresh
@@ -554,6 +569,7 @@ class _FitRun:
                     _pull_back()
                 self.log_epoch(epoch, ll, time.time() - t0)
 
+        tm["prep_s"] = round(time.time() - tm0, 2)  # everything pre-epoch-0
         _run_fused_epochs(epoch_fn, range(plan.n_main))
         if n_tail and wide_tail_fn is not None:
             _run_fused_epochs(wide_tail_fn, range(plan.n_main, self.epochs))
@@ -761,6 +777,11 @@ class RankFM:
 
         # structured per-epoch training log (SURVEY.md §5 observability)
         self.training_log_ = []
+        # wall-clock phase decomposition of the most recent fit_partial
+        # call (host-side ingest / layout / dispatch vs the final device
+        # sync) — cold-start attribution evidence for bench.py's
+        # warmup_detail; all values are host-blocking seconds
+        self.last_fit_timing_ = {}
 
         self.is_fit = False
 
@@ -1037,6 +1058,7 @@ class RankFM:
         assert isinstance(epochs, int) and epochs >= 1, "[epochs] must be a positive integer"
         assert isinstance(verbose, bool), "[verbose] must be a boolean value"
 
+        t_fp0 = time.time()
         if self.is_fit:
             self._init_interactions(interactions, sample_weight)
             self._init_features(user_features, item_features)
@@ -1057,6 +1079,9 @@ class RankFM:
                     "frozen across fit_partial - call fit() to rebuild them")
         else:
             self._init_all(interactions, user_features, item_features, sample_weight)
+        # ingest = id mapping + CSR history + weight init, all host work
+        # (plus async device puts); _FitRun fills in the rest of the phases
+        self.last_fit_timing_ = {"ingest_s": round(time.time() - t_fp0, 2)}
 
         from rankfm_tpu.models.planner import FitSpec, plan_fit
         sw = self.sample_weight

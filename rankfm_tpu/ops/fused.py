@@ -613,7 +613,8 @@ def _kernel(cid_ref, rec_ref, wincols_ref, blk_ref, ublk_ref, iblk_ref,
         same per-chunk PRNG stream (seeded at the virtual index), same
         window draws, same sequential table updates — so the training
         trajectory is bitwise independent of SUB (pinned by
-        tests/test_fused.py)."""
+        tests/test_fused.py::test_sub_rounds_bitwise_invariant, and
+        measured at production shape by tools/probe_sub_rounds.py)."""
         pltpu.prng_seed(seed_ref[0] + k)
         eta = eta_ref[0]
         dreg = dreg_ref[0]                           # eta * 2 * alpha
@@ -1058,17 +1059,6 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     # 128 in VMEM (SUB x 128 KB x 2 pipeline buffers at C=256) — clamp
     # SUB so the extra pipeline scratch keeps the total under the same
     # ~15 MB budget `fused_table_mode` admits configs against.
-    width = 2 if table_bf16 else 4
-    base = _fused_vmem_bytes(num_users, num_items, width,
-                             default_n_windows(item_pad(num_items)
-                                               // block_size(num_items))
-                             if n_windows is None else n_windows,
-                             has_uf, has_if, ub=ub)
-    rec_budget = max(15 * 2**20 - base, 2 * C * LANES * 4)
-    sub_cap = max(1, int(rec_budget // (2 * C * LANES * 4)))
-    SUB = next(s for s in range(min(max(sub, 1), nT, sub_cap), 0, -1)
-               if nT % s == 0)
-
     # NW windows per chunk. With size-weighted window draws and uniform
     # slot selection over the UNION, NW > 1 skews per-item draw probability
     # toward items of larger blocks; the skew scales with the variance of
@@ -1081,12 +1071,28 @@ def make_fused_batch_fn(num_users, num_items, factors, max_samples,
     NW = default_n_windows(NBLK_) if n_windows is None else n_windows
     assert 1 <= NW <= NBLK_, (NW, NBLK_)
     tdt = jnp.bfloat16 if table_bf16 else jnp.float32
-    # double-buffer the per-chunk window-membership DMAs when the second
-    # set of [UB, 128] int32 buffers also fits the VMEM budget (eligibility
-    # is gated at WDB=1, so tight configs keep running single-buffered)
+    width = 2 if table_bf16 else 4
+    # one sub-round's record block — [C, 2] int32 lane-padded to 128,
+    # double-buffered by the Pallas pipeline
+    rec_unit = 2 * C * LANES * 4
+    # double-buffer the per-chunk window-membership DMAs only when the
+    # second set of [UB, 128] int32 buffers fits ALONGSIDE the minimum
+    # (SUB=1) record pipeline; the SUB budget below is then carved from
+    # the same WDB-inclusive base. Round-4 advisor finding: the two checks
+    # used to pass individually (sub_cap against win_db=1, WDB ignoring
+    # the SUB record scratch) while their SUM overflowed the 15 MB budget,
+    # risking a Mosaic load failure with RANKFM_TPU_SUB>1 near the
+    # boundary. (Kernel eligibility itself is gated at WDB=1, so tight
+    # configs keep running, single-buffered.)
     WDB = 2 if _fused_vmem_bytes(
-        num_users, num_items, 2 if table_bf16 else 4, NW, has_uf, has_if,
-        win_db=2, ub=ub) <= 15 * 2**20 else 1
+        num_users, num_items, width, NW, has_uf, has_if,
+        win_db=2, ub=ub) + rec_unit <= 15 * 2**20 else 1
+    base = _fused_vmem_bytes(num_users, num_items, width, NW,
+                             has_uf, has_if, win_db=WDB, ub=ub)
+    rec_budget = max(15 * 2**20 - base, rec_unit)
+    sub_cap = max(1, int(rec_budget // rec_unit))
+    SUB = next(s for s in range(min(max(sub, 1), nT, sub_cap), 0, -1)
+               if nT % s == 0)
     kern = partial(_kernel, U_pad=U_pad, UB=UB, I_pad=I_pad, F=factors,
                    M=max_samples, C=C, BLK=BLK, NW=NW,
                    num_items=num_items, TBF16=table_bf16,

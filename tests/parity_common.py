@@ -77,7 +77,7 @@ def _metrics_from_scores(scores, item_raw_ids, user_raw_ids, test, k=10):
     comm = np.array([u for u, _ in rows])
     hits = np.array([[it in test_sets[u] for it in top_raw[n]]
                      for n, (u, _) in enumerate(rows)], dtype=bool)
-    return {name: agg(comm, hits, test_sets)
+    return {name: agg(comm, hits, test_sets, k)
             for name, agg in _AGGREGATORS.items()}
 
 

@@ -158,6 +158,51 @@ def test_fused_batch_trains():
 
 @pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
                     reason="Mosaic kernel needs TPU hardware")
+@pytest.mark.parametrize("sub", [2, 4])
+def test_sub_rounds_bitwise_invariant(sub):
+    """SUB>1 packs several chunks into one grid step (`fused._sub_round`);
+    each sub-round re-seeds the PRNG at the chunk's VIRTUAL index and
+    replays the SUB=1 step's exact semantics, so the training trajectory —
+    tables AND log-likelihood — must be BITWISE identical to sub=1.
+    (Round-4 advisor: this was only checked by the manually-run
+    tools/probe_sub_rounds.py; pin it in the suite.)"""
+    rng = np.random.default_rng(7)
+    U, I, F, M, B = 96, 200, 8, 4, 512
+    n = 6 * U
+    u = np.arange(U).repeat(6).astype(np.int32)
+    i = rng.integers(0, I, n).astype(np.int32)
+    pairs = np.unique(np.stack([u, i], 1), axis=0)
+    counts = np.bincount(pairs[:, 0], minlength=U)
+    offsets = np.zeros(U + 1, np.int32)
+    offsets[1:] = np.cumsum(counts)
+    packed = fused.pack_history_device(offsets, pairs[:, 1], U, I)
+    win_cols = fused.pack_win_cols(packed, U, I)
+    layout = tuple(map(jnp.asarray, fused.make_records_grouped(
+        pairs[:, 0], pairs[:, 1], np.ones(len(pairs), np.float32),
+        U, I, B, 128)))
+    tu0, ti0 = fused.extend_tables(
+        jnp.zeros(I),
+        jnp.asarray(rng.normal(0, .1, (U, F)).astype(np.float32)),
+        jnp.asarray(rng.normal(0, .1, (I, F)).astype(np.float32)),
+        fused.user_pad(U), fused.item_pad(I))
+    out = {}
+    for s in (1, sub):
+        ep = fused.make_fused_epoch_fn(U, I, F, M, B, chunk=128,
+                                       donate=False, sub=s)
+        tu, ti = tu0, ti0
+        lls = []
+        for e in range(3):
+            tu, ti, ll = ep(tu, ti, win_cols, *layout,
+                            0.1, 0.01, jax.random.PRNGKey(0), e)
+            lls.append(float(ll))
+        out[s] = (np.asarray(tu), np.asarray(ti), lls)
+    assert out[1][2] == out[sub][2]  # ll trajectory bitwise equal
+    np.testing.assert_array_equal(out[1][0], out[sub][0])
+    np.testing.assert_array_equal(out[1][1], out[sub][1])
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu",),
+                    reason="Mosaic kernel needs TPU hardware")
 def test_full_history_users_get_no_updates():
     """adversarial membership check: when a user's history covers the whole
     catalog there are no legal negatives — the epoch's log-likelihood must be
