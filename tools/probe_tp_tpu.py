@@ -52,7 +52,14 @@ mrl = int(counts.max())
 def main():
     assert jax.devices()[0].platform == "tpu", "probe needs the TPU"
     mesh = make_mesh(data=1, model=1)
-    args = (jnp.asarray(u), jnp.asarray(i), jnp.ones(n), n,
+    # the epoch fns reshape to whole batches — pad like run_xla does
+    # (pad rows carry valid=0 via the n_real static)
+    n_pad = -(-n // bs) * bs
+    u_p = np.zeros(n_pad, np.int32)
+    i_p = np.zeros(n_pad, np.int32)
+    sw_p = np.zeros(n_pad, np.float32)
+    u_p[:n], i_p[:n], sw_p[:n] = u, i, 1.0
+    args = (jnp.asarray(u_p), jnp.asarray(i_p), jnp.asarray(sw_p), n,
             jnp.float32(0.1), jnp.float32(0.01), jnp.float32(0.1),
             jax.random.PRNGKey(3), 0)
 
