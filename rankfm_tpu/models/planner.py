@@ -110,6 +110,13 @@ class FitPlan:
     placement: str            # 'single' | 'dp' | 'tp'
     rounds: int               # candidate-step rejection redraw rounds
     post_reject: bool         # post-hoc membership testing (sparse regime)
+    # chunk-tail schedule (round 5): the LAST chunk_tail fused epochs
+    # re-run at the oracle-parity layout (tail_chunk @ tail_user_block,
+    # tail_sub sub-rounds) — see BENCHMARKS.md round-5 frontier sweep
+    chunk_tail: int = 0       # closing epochs at the parity layout (0=off)
+    tail_chunk: int = 0
+    tail_user_block: int = 0
+    tail_sub: int = 1
 
 
 # candidate-step sampling strategy switch: below this history density the
@@ -301,6 +308,28 @@ def plan_fit(spec: FitSpec) -> FitPlan:
         if cand > fused_mod.default_n_windows(nblk):
             nw_tail = cand
 
+    # ---- chunk-tail schedule (round 5): pure-fused plans finish their
+    # last ~25% of epochs at the oracle-parity layout chunk128 @ UB256
+    # (SUB 8 amortizes the doubled grid). The frontier sweep
+    # (tools/probe_frontier_r5.py, BENCHMARKS.md) measured the parity
+    # point at worst-seed -0.004 HR but only ~47-49x, while the fast
+    # chunk-256 layout runs ~55x at -0.009: chunk-sharing correlation is
+    # a LATE-training precision problem (the same mechanism as the
+    # candidate tail above), so a 25% closing tail restores parity
+    # (-0.004 HR / -0.016 DCG worst-seed, tools/probe_chunk_tail.py) at
+    # ~53x. Gated off whenever another tail engine runs, on meshes (the
+    # DP record split doesn't re-deal mid-fit), with side features (the
+    # feature-block padding is layout-coupled), and under pre-computed
+    # shuffle layouts (built for the main layout only).
+    chunk_tail = 0
+    tail_chunk = tail_ub = 0
+    tail_sub = 1
+    if (fused and n_tail == 0 and spec.mesh is None
+            and not (spec.x_uf_any or spec.x_if_any)
+            and chunk > 128 and shuffle_layouts == 1 and spec.epochs >= 2):
+        chunk_tail = max(1, spec.epochs // 4)
+        tail_chunk, tail_ub, tail_sub = 128, 256, 8
+
     return FitPlan(
         max_samples=max_samples, n_dev=n_dev, nblk=nblk,
         fused=fused, table_mode=table_mode, table_bf16=table_bf16,
@@ -309,4 +338,6 @@ def plan_fit(spec: FitSpec) -> FitPlan:
         n_main=spec.epochs - n_tail, n_tail=n_tail, tail_windows=nw_tail,
         xla_batch=bs_x, step_kind=step_kind, placement=placement,
         rounds=rounds, post_reject=post_reject,
+        chunk_tail=chunk_tail, tail_chunk=tail_chunk,
+        tail_user_block=tail_ub, tail_sub=tail_sub,
     )

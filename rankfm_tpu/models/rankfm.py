@@ -393,11 +393,18 @@ class _FitRun:
         if m._packed_hist is None:
             m._packed_hist = fused_mod.pack_history_device(
                 m._ui_offsets, m._ui_items, U, num_items)
-        # win_cols layout depends on the planned user block — cache per ub
-        if m._win_cols is None or m._win_cols[0] != ub:
-            m._win_cols = (ub, fused_mod.pack_win_cols(
-                m._packed_hist, U, num_items, ub=ub))
-        win_cols = m._win_cols[1]
+
+        # win_cols layout depends on the user block — cache per ub (the
+        # chunk-tail schedule runs TWO layouts per fit, so this is a dict)
+        def _win_cols_for(ub_):
+            wc = m._win_cols if isinstance(m._win_cols, dict) else {}
+            if ub_ not in wc:
+                wc[ub_] = fused_mod.pack_win_cols(
+                    m._packed_hist, U, num_items, ub=ub_)
+                m._win_cols = wc
+            return wc[ub_]
+
+        win_cols = _win_cols_for(ub)
         tm["hist_pack_s"] = round(time.time() - tm0, 2)
         w = m._weights
         tab_u, tab_i = fused_mod.extend_tables(
@@ -412,18 +419,24 @@ class _FitRun:
         # record layout (~10 ms for ML-1M-sized vectors, paid once)
         sw_hash = hashlib.sha256(
             np.ascontiguousarray(m.sample_weight).tobytes()).digest()
-        rec_key = (m._ingest_hash, bs, chunk, ub, self.n, sw_hash)
-        cached = getattr(m, "_rec_cache", None)
-        if cached is not None and cached[0] == rec_key \
-                and m._ingest_hash is not None:
-            _, layout_dev = cached
-        else:
+
+        def _layout_for(chunk_, ub_):
+            rec_key = (m._ingest_hash, bs, chunk_, ub_, self.n, sw_hash)
+            cache = m._rec_cache if isinstance(m._rec_cache, dict) else {}
+            if rec_key in cache and m._ingest_hash is not None:
+                return cache[rec_key]
             layout = fused_mod.make_records_grouped(
                 m.interactions[:, 0], m.interactions[:, 1],
-                m.sample_weight, U, num_items, bs, chunk, ub=ub)
+                m.sample_weight, U, num_items, bs, chunk_, ub=ub_)
             layout_dev = tuple(map(jnp.asarray, layout))
-            m._rec_cache = (rec_key, layout_dev)
-        rec_dev, group_dev, cids_dev, ublk_dev, iblk_dev = layout_dev
+            while len(cache) >= 4:  # both schedule layouts + headroom
+                cache.pop(next(iter(cache)))
+            cache[rec_key] = layout_dev
+            m._rec_cache = cache
+            return layout_dev
+
+        rec_dev, group_dev, cids_dev, ublk_dev, iblk_dev = \
+            _layout_for(chunk, ub)
         # grouped record layout: host numpy segmented shuffle + the
         # multi-MB host->device puts (the puts only ENQUEUE here)
         tm["records_s"] = round(time.time() - tm0 - tm["hist_pack_s"], 2)
@@ -570,7 +583,42 @@ class _FitRun:
                 self.log_epoch(epoch, ll, time.time() - t0)
 
         tm["prep_s"] = round(time.time() - tm0, 2)  # everything pre-epoch-0
-        _run_fused_epochs(epoch_fn, range(plan.n_main))
+        # chunk-tail schedule (round 5): the closing epochs re-run at the
+        # oracle-parity layout (plan.tail_chunk @ plan.tail_user_block,
+        # sub-rounds amortizing the doubled grid) — the chunk-sharing
+        # correlation is a LATE-training precision problem, so spending
+        # the slower layout only at the end restores worst-seed parity
+        # (-0.004 HR, tools/probe_chunk_tail.py) at ~95% of the fast
+        # layout's throughput. Planner guarantees n_ct=0 for feature/mesh/
+        # pre-shuffled plans and whenever a wide/candidate tail runs.
+        n_ct = plan.chunk_tail
+        assert not (n_ct and (pre_shuffled or has_feat or n_tail)), plan
+        _run_fused_epochs(epoch_fn, range(plan.n_main - n_ct))
+        if n_ct:
+            ub_t, chunk_t = plan.tail_user_block, plan.tail_chunk
+            U_pad_t = fused_mod.user_pad(U, ub_t)
+            # the two layouts pad the user table differently — re-extend
+            # the live tables at the tail padding (pure device ops)
+            tw_i, tv_u, tv_i = fused_mod.extract_tables(
+                tab_u, tab_i, U, num_items, F)
+            tab_u, tab_i = fused_mod.extend_tables(
+                tw_i, tv_u, tv_i, U_pad_t, I_pad, table_bf16)
+            win_cols = _win_cols_for(ub_t)
+            rec_dev, group_dev, cids_dev, ublk_dev, iblk_dev = \
+                _layout_for(chunk_t, ub_t)
+            tail_fn = fused_mod.make_fused_epoch_fn(
+                U, num_items, F, max_samples, bs, chunk=chunk_t,
+                table_bf16=table_bf16, has_uf=False, has_if=False,
+                n_windows=nw_main, ub=ub_t, pre_shuffled=False,
+                sub=plan.tail_sub)
+            tail_fn = aotcache.wrap(
+                tail_fn,
+                key_parts=(U, num_items, F, max_samples, bs, chunk_t,
+                           ub_t, table_bf16, False, False, nw_main,
+                           False, plan.tail_sub),
+                tag="fused_epoch")
+            _run_fused_epochs(tail_fn,
+                              range(plan.n_main - n_ct, plan.n_main))
         if n_tail and wide_tail_fn is not None:
             _run_fused_epochs(wide_tail_fn, range(plan.n_main, self.epochs))
             _pull_back()

@@ -40,6 +40,38 @@ def test_ml1m_band_tpu_runs_fused_window_no_tail():
     assert p.placement == "single" and p.n_dev == 1
 
 
+def test_ml1m_band_gets_chunk_tail_at_parity_layout():
+    """round-5 default: the last ~25% of fused epochs re-run at the
+    oracle-parity layout (chunk128 @ UB256, SUB 8) — worst-seed -0.004 HR
+    at ~53x vs -0.009 at 55x without the tail (tools/probe_chunk_tail.py,
+    BENCHMARKS.md round-5 frontier sweep)"""
+    p = plan_fit(spec())
+    assert p.chunk_tail == 5                   # 20 epochs -> 5-epoch tail
+    assert (p.tail_chunk, p.tail_user_block, p.tail_sub) == (128, 256, 8)
+    # short fits still close with at least one parity epoch
+    assert plan_fit(spec(epochs=2)).chunk_tail == 1
+    # 1-epoch fits run the main layout only (program reuse with the
+    # production main engine)
+    assert plan_fit(spec(epochs=1)).chunk_tail == 0
+
+
+def test_chunk_tail_gated_off_where_unsupported():
+    # side features: the feature-block padding is layout-coupled
+    assert plan_fit(spec(x_if_any=True)).chunk_tail == 0
+    assert plan_fit(spec(x_uf_any=True)).chunk_tail == 0
+    # another tail engine already runs (mixed schedule on big catalogs)
+    big = plan_fit(spec(num_items=33_362, factors=50, max_samples=50,
+                        epochs=30, nnz_hist=500_000))
+    assert big.n_tail > 0 and big.chunk_tail == 0
+    # pre-computed shuffle layouts are built for the main layout only
+    assert plan_fit(spec(shuffle_layouts=4)).chunk_tail == 0
+    # already AT the parity chunk: nothing to tail into
+    assert plan_fit(spec(batch_size=128)).chunk_tail == 0
+    # mesh plans keep the single uniform DP schedule
+    mesh = _mesh((8,), ("data",))
+    assert plan_fit(spec(mesh=mesh, table_bytes=2**20)).chunk_tail == 0
+
+
 def test_ml1m_band_off_tpu_runs_xla_window():
     p = plan_fit(spec(on_tpu=False))
     assert not p.fused
