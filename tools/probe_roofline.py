@@ -24,7 +24,20 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax  # noqa: E402
 
 from rankfm_tpu import RankFM  # noqa: E402
+from rankfm_tpu.models import planner as planner_mod  # noqa: E402
 from rankfm_tpu.ops import fused  # noqa: E402
+
+# this probe measures the PURE main kernel's utilization — disable the
+# chunk-tail schedule (round 5 default) so every epoch runs one layout
+_orig_plan_fit = planner_mod.plan_fit
+
+
+def _no_tail_plan(spec):
+    import dataclasses
+    return dataclasses.replace(_orig_plan_fit(spec), chunk_tail=0)
+
+
+planner_mod.plan_fit = _no_tail_plan
 
 sys.path.insert(0, os.path.dirname(__file__) or ".")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
