@@ -79,6 +79,6 @@ _enable_compilation_cache()
 from rankfm_tpu.models.rankfm import RankFM  # noqa: E402
 from rankfm_tpu import evaluation  # noqa: E402
 
-__version__ = "0.4.0"
+__version__ = "0.5.0"
 
 __all__ = ["RankFM", "evaluation", "__version__"]
