@@ -33,18 +33,20 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_init_distributed_two_process_cpu_ring():
-    """the multi-host bootstrap + one DP delta-psum epoch on a real
-    2-process ring: both ranks must report the SAME log-likelihood and the
-    SAME final user-table hash (bitwise — the psum'd deltas and the
-    per-device fold_in streams are identical regardless of which process
-    hosts which shard)."""
+@pytest.mark.parametrize("mode", ["dp", "tp"])
+def test_init_distributed_two_process_cpu_ring(mode):
+    """the multi-host bootstrap + one epoch on a real 2-process ring —
+    ``dp``: delta-psum replicas; ``tp``: explicit owner-shard exchange
+    with the tables row-sharded ACROSS the processes. Both ranks must
+    report the SAME log-likelihood and the SAME final user-table hash
+    (bitwise — the collectives make every rank's view identical
+    regardless of which process hosts which shard)."""
     port = _free_port()
     coord = f"127.0.0.1:{port}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # the child forces cpu via jax.config
     procs = [subprocess.Popen(
-        [sys.executable, CHILD, str(rank), coord],
+        [sys.executable, CHILD, str(rank), coord, mode],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True, env=env, cwd=REPO) for rank in (0, 1)]
     outs = []
