@@ -28,18 +28,67 @@ int64_t rfm_unique_sorted(const int64_t* ids, int64_t n, int64_t* out) {
     return m;
 }
 
-// Map raw ids to dense indices by binary search over the sorted-unique id
-// array; unknown ids map to -1.
+// Map raw ids to dense indices; unknown ids map to -1. Two regimes
+// (round 5 — the per-row binary search cost ~100 ns/id on 33k-item
+// vocabularies and dominated predict()'s host time):
+//  * near-contiguous vocabularies (span <= 8x the id count): one direct
+//    int32 lookup table over the value range (~2 ns/row, L2-resident);
+//  * arbitrary (snowflake-scale) ids: open-addressing hash, power-of-two
+//    capacity at <= 50% load, splitmix64 finalizer (~10-15 ns/row).
+// Output contract is unchanged: the index into the sorted-unique array.
+static inline uint64_t rfm_mix64(uint64_t x) {
+    x ^= x >> 33;
+    x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33;
+    x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33;
+    return x;
+}
+
 void rfm_map_ids(const int64_t* raw, int64_t n,
                  const int64_t* sorted_unique, int64_t m,
                  int32_t* out_idx) {
-    const int64_t* lo = sorted_unique;
-    const int64_t* hi = sorted_unique + m;
+    if (m == 0) {
+        std::fill(out_idx, out_idx + n, -1);
+        return;
+    }
+    const int64_t lo_v = sorted_unique[0], hi_v = sorted_unique[m - 1];
+    const uint64_t span = static_cast<uint64_t>(hi_v - lo_v) + 1;
+    if (span <= static_cast<uint64_t>(std::max<int64_t>(8 * m, 1024))) {
+        std::vector<int32_t> table(span, -1);
+        for (int64_t k = 0; k < m; ++k)
+            table[static_cast<uint64_t>(sorted_unique[k] - lo_v)] =
+                static_cast<int32_t>(k);
+        for (int64_t r = 0; r < n; ++r) {
+            const int64_t v = raw[r];
+            out_idx[r] = (v >= lo_v && v <= hi_v)
+                             ? table[static_cast<uint64_t>(v - lo_v)]
+                             : -1;
+        }
+        return;
+    }
+    uint64_t cap = 1;
+    while (cap < static_cast<uint64_t>(m) * 2) cap <<= 1;
+    std::vector<int64_t> keys(cap);
+    std::vector<int32_t> vals(cap, -1);  // -1 marks an empty slot
+    for (int64_t k = 0; k < m; ++k) {
+        uint64_t h = rfm_mix64(static_cast<uint64_t>(sorted_unique[k]))
+                     & (cap - 1);
+        while (vals[h] != -1) h = (h + 1) & (cap - 1);
+        keys[h] = sorted_unique[k];
+        vals[h] = static_cast<int32_t>(k);
+    }
     for (int64_t r = 0; r < n; ++r) {
-        const int64_t* it = std::lower_bound(lo, hi, raw[r]);
-        out_idx[r] = (it != hi && *it == raw[r])
-                         ? static_cast<int32_t>(it - lo)
-                         : -1;
+        uint64_t h = rfm_mix64(static_cast<uint64_t>(raw[r])) & (cap - 1);
+        int32_t res = -1;
+        while (vals[h] != -1) {
+            if (keys[h] == raw[r]) {
+                res = vals[h];
+                break;
+            }
+            h = (h + 1) & (cap - 1);
+        }
+        out_idx[r] = res;
     }
 }
 

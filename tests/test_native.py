@@ -34,6 +34,35 @@ def test_map_ids(lib):
     np.testing.assert_array_equal(got, want.astype(np.int32))
 
 
+def test_map_ids_both_lookup_regimes(lib):
+    """round-5 rewrite: map_ids picks a direct range table for
+    near-contiguous vocabularies and an open-addressing hash for sparse
+    (snowflake-scale) ids — both must reproduce the searchsorted oracle
+    exactly, including unknowns below/above/inside the vocabulary range
+    and negative raw ids."""
+    rng = np.random.default_rng(7)
+
+    def oracle(raw, su):
+        pos = np.minimum(np.searchsorted(su, raw), len(su) - 1)
+        return np.where(su[pos] == raw, pos, -1).astype(np.int32)
+
+    # dense range (span == m): the table path
+    su = np.arange(100, 100 + 5000, dtype=np.int64)
+    raw = np.concatenate([rng.integers(0, 6000, 20000),
+                          np.array([-5, 99, 100, 5099, 5100])]).astype(np.int64)
+    np.testing.assert_array_equal(native.map_ids(raw, su), oracle(raw, su))
+    # sparse 64-bit ids (span >> 8m): the hash path
+    su2 = np.unique(rng.integers(-2**62, 2**62, 5000).astype(np.int64))
+    raw2 = np.concatenate([rng.choice(su2, 20000),
+                           rng.integers(-2**62, 2**62, 5000)]).astype(np.int64)
+    np.testing.assert_array_equal(native.map_ids(raw2, su2),
+                                  oracle(raw2, su2))
+    # single-id vocabulary and empty-ish edges
+    su3 = np.array([42], dtype=np.int64)
+    raw3 = np.array([41, 42, 43], dtype=np.int64)
+    np.testing.assert_array_equal(native.map_ids(raw3, su3), [-1, 0, -1])
+
+
 def test_build_csr_matches_numpy(lib):
     rng = np.random.default_rng(2)
     U = 50
