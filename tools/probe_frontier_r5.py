@@ -42,10 +42,12 @@ for a in sys.argv[1:]:
     parts = [int(x) for x in a.split(",")]
     chunk, ub, sub = parts[:3]
     bs = parts[3] if len(parts) > 3 else None
-    combos.append((chunk, ub, sub, bs))
+    layouts = parts[4] if len(parts) > 4 else None  # shuffle_layouts R
+    combos.append((chunk, ub, sub, bs, layouts))
 if not combos:
-    combos = [(192, 1024, 1, 36864), (192, 512, 1, 36864),
-              (160, 512, 1, 32000), (128, 256, 2, None), (128, 256, 4, None)]
+    combos = [(192, 1024, 1, 36864, None), (192, 512, 1, 36864, None),
+              (160, 512, 1, 32000, None), (128, 256, 2, None, None),
+              (128, 256, 4, None, None)]
 
 rng = np.random.default_rng(1492)
 train, test = make_latent_dataset(rng, n_users=6040, n_items=3706,
@@ -54,12 +56,15 @@ oracles = {}
 orig_pick_chunk = fused.pick_chunk
 orig_pick_ub = fused.pick_user_block
 
-for chunk, ub, sub, bs in combos:
+for chunk, ub, sub, bs, layouts in combos:
     fused.pick_chunk = (lambda c: (lambda *a, **k: c))(chunk)
     fused.pick_user_block = (lambda b: (lambda *a, **k: b))(ub)
     os.environ["RANKFM_TPU_SUB"] = str(sub)
     kw = {"batch_size": bs} if bs else {}
-    tag = f"chunk{chunk}@UB{ub}/SUB{sub}" + (f"/bs{bs}" if bs else "")
+    if layouts:
+        kw["shuffle_layouts"] = layouts
+    tag = (f"chunk{chunk}@UB{ub}/SUB{sub}" + (f"/bs{bs}" if bs else "")
+           + (f"/R{layouts}" if layouts else ""))
     try:
         mt = RankFM(factors=20, loss="warp", max_samples=20, alpha=0.01,
                     sigma=0.1, learning_rate=0.1,
