@@ -147,8 +147,13 @@ def main():
     micro_s = time.time() - t0
     st0 = {t: dict(v) for t, v in aotcache.stats().items()}
 
+    # epochs=2, not 1: the chunk-tail schedule (planner) only engages at
+    # epochs >= 2, so a 1-epoch warmup would build the MAIN fused program
+    # but leave the TAIL program's cold AOT load/compile to land
+    # uninstrumented inside the first steady-state fit_partial below —
+    # the exact attribution hole this round's instrumentation closes
     t0 = time.time()
-    model.fit(inter, epochs=1)
+    model.fit(inter, epochs=2)
     warm = time.time() - t0
     stop_pings.set()
     st = aotcache.stats()

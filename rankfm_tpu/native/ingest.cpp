@@ -53,8 +53,17 @@ void rfm_map_ids(const int64_t* raw, int64_t n,
         return;
     }
     const int64_t lo_v = sorted_unique[0], hi_v = sorted_unique[m - 1];
-    const uint64_t span = static_cast<uint64_t>(hi_v - lo_v) + 1;
-    if (span <= static_cast<uint64_t>(std::max<int64_t>(8 * m, 1024))) {
+    // unsigned subtraction: hi_v - lo_v overflows SIGNED int64 (UB) when
+    // the vocabulary spans more than half the int64 range (e.g. a
+    // negative sentinel beside snowflake ids) — the wrap is well-defined
+    // in uint64 and the regime comparison below stays correct
+    const uint64_t span =
+        static_cast<uint64_t>(hi_v) - static_cast<uint64_t>(lo_v) + 1;
+    // span == 0 means the range wrapped the full uint64 (lo = INT64_MIN,
+    // hi = INT64_MAX) — that is the sparsest possible vocabulary, not a
+    // 0-slot table
+    if (span != 0 &&
+        span <= static_cast<uint64_t>(std::max<int64_t>(8 * m, 1024))) {
         std::vector<int32_t> table(span, -1);
         for (int64_t k = 0; k < m; ++k)
             table[static_cast<uint64_t>(sorted_unique[k] - lo_v)] =

@@ -61,6 +61,15 @@ def test_map_ids_both_lookup_regimes(lib):
     su3 = np.array([42], dtype=np.int64)
     raw3 = np.array([41, 42, 43], dtype=np.int64)
     np.testing.assert_array_equal(native.map_ids(raw3, su3), [-1, 0, -1])
+    # vocabulary spanning (almost) the whole int64 range: hi - lo
+    # overflows SIGNED arithmetic — must take the hash path, not a
+    # wrapped-span table (and span==0 full wrap must not allocate a
+    # 0-slot table)
+    lo, hi = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    su4 = np.array([lo, -7, 0, 123, hi], dtype=np.int64)
+    raw4 = np.array([lo, hi, 0, 122, 123, -7, 55], dtype=np.int64)
+    np.testing.assert_array_equal(native.map_ids(raw4, su4),
+                                  [0, 4, 2, -1, 3, 1, -1])
 
 
 def test_build_csr_matches_numpy(lib):

@@ -27,8 +27,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 from rankfm_tpu import RankFM, evaluation  # noqa: E402
+from rankfm_tpu.models import planner as planner_mod  # noqa: E402
 from rankfm_tpu.ops import fused  # noqa: E402
 from parity_common import make_latent_dataset, oracle_metrics  # noqa: E402
+
+# this probe CONSTRUCTS the main/tail split by hand — disable the
+# shipped chunk-tail default (it landed from this probe's own round-5
+# result) so the "main phase" fit really is pure fast-layout epochs and
+# the explicit tail below is the only tail. Without this the probe would
+# measure a nested-tail schedule and could never reproduce its own
+# recorded numbers (round-5 self-review finding).
+_orig_plan_fit = planner_mod.plan_fit
+
+
+def _no_tail_plan(spec):
+    import dataclasses
+    return dataclasses.replace(_orig_plan_fit(spec), chunk_tail=0)
+
+
+planner_mod.plan_fit = _no_tail_plan
 
 METRICS = ("hit_rate", "reciprocal_rank", "discounted_cumulative_gain",
            "precision", "recall")

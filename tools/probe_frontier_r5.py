@@ -30,8 +30,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 from rankfm_tpu import RankFM, evaluation  # noqa: E402
+from rankfm_tpu.models import planner as planner_mod  # noqa: E402
 from rankfm_tpu.ops import fused  # noqa: E402
 from parity_common import make_latent_dataset, oracle_metrics  # noqa: E402
+
+# measure each combo's layout PURE: the shipped chunk-tail default
+# (which this sweep's results produced) would otherwise silently append
+# parity-layout tail epochs to every chunk>128 combo's 20-epoch fits —
+# the 1-epoch plan assertion below never sees it (chunk_tail needs
+# epochs >= 2). Round-5 self-review finding.
+_orig_plan_fit = planner_mod.plan_fit
+
+
+def _no_tail_plan(spec):
+    import dataclasses
+    return dataclasses.replace(_orig_plan_fit(spec), chunk_tail=0)
+
+
+planner_mod.plan_fit = _no_tail_plan
 
 METRICS = ("hit_rate", "reciprocal_rank", "discounted_cumulative_gain",
            "precision", "recall")
