@@ -327,7 +327,11 @@ def plan_fit(spec: FitSpec) -> FitPlan:
     if (fused and n_tail == 0 and spec.mesh is None
             and not (spec.x_uf_any or spec.x_if_any)
             and chunk > 128 and shuffle_layouts == 1 and spec.epochs >= 2):
-        chunk_tail = max(1, spec.epochs // 4)
+        # ~1/6 of the epochs: tails of 3/4/5/10 at the 20-epoch headline
+        # all measure inside the parity band (probe_chunk_tail runs with
+        # tails 3-10), so take the cheapest one — 3 tail epochs price at
+        # ~54x vs 53.3x for 5
+        chunk_tail = max(1, spec.epochs // 6)
         tail_chunk, tail_ub, tail_sub = 128, 256, 8
 
     return FitPlan(

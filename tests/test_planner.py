@@ -46,7 +46,7 @@ def test_ml1m_band_gets_chunk_tail_at_parity_layout():
     at ~53x vs -0.009 at 55x without the tail (tools/probe_chunk_tail.py,
     BENCHMARKS.md round-5 frontier sweep)"""
     p = plan_fit(spec())
-    assert p.chunk_tail == 5                   # 20 epochs -> 5-epoch tail
+    assert p.chunk_tail == 3                   # 20 epochs -> 3-epoch tail
     assert (p.tail_chunk, p.tail_user_block, p.tail_sub) == (128, 256, 8)
     # short fits still close with at least one parity epoch
     assert plan_fit(spec(epochs=2)).chunk_tail == 1
