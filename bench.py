@@ -153,7 +153,19 @@ def main():
     # uninstrumented inside the first steady-state fit_partial below —
     # the exact attribution hole this round's instrumentation closes
     t0 = time.time()
-    model.fit(inter, epochs=2)
+    try:
+        model.fit(inter, epochs=2)
+    except BaseException:
+        # the run that FAILS its warmup is the one that most needs the
+        # evidence — emit the ping series and phase timings collected so
+        # far before the exception propagates
+        stop_pings.set()
+        print(f"# warmup FAILED after {time.time() - t0:.1f}s "
+              f"ping_series={ping_series} "
+              f"fit_phases={dict(model.last_fit_timing_)} "
+              f"micro_fit_s={micro_s:.1f}",
+              file=sys.stderr, flush=True)
+        raise
     warm = time.time() - t0
     stop_pings.set()
     st = aotcache.stats()

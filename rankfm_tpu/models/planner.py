@@ -309,13 +309,13 @@ def plan_fit(spec: FitSpec) -> FitPlan:
             nw_tail = cand
 
     # ---- chunk-tail schedule (round 5): pure-fused plans finish their
-    # last ~25% of epochs at the oracle-parity layout chunk128 @ UB256
+    # last max(1, epochs//6) epochs at the oracle-parity layout chunk128 @ UB256
     # (SUB 8 amortizes the doubled grid). The frontier sweep
     # (tools/probe_frontier_r5.py, BENCHMARKS.md) measured the parity
     # point at worst-seed -0.004 HR but only ~47-49x, while the fast
     # chunk-256 layout runs ~55x at -0.009: chunk-sharing correlation is
     # a LATE-training precision problem (the same mechanism as the
-    # candidate tail above), so a 25% closing tail restores parity
+    # candidate tail above), so a short closing tail restores parity
     # (-0.004 HR / -0.016 DCG worst-seed, tools/probe_chunk_tail.py) at
     # ~53x. Gated off whenever another tail engine runs, on meshes (the
     # DP record split doesn't re-deal mid-fit), with side features (the

@@ -28,28 +28,75 @@ int64_t rfm_unique_sorted(const int64_t* ids, int64_t n, int64_t* out) {
     return m;
 }
 
-// Map raw ids to dense indices; unknown ids map to -1. Two regimes
-// (round 5 — the per-row binary search cost ~100 ns/id on 33k-item
+// Open-addressing int64 -> dense-index hash (power-of-two capacity at
+// <= 50% load). The ONE hash in this file: rfm_map_ids and rfm_ingest
+// both use it. The empty-slot marker is vals[h] == -1 — NOT a key
+// sentinel: an earlier revision marked empty slots with
+// keys[h] == INT64_MIN, which silently corrupted any vocabulary that
+// actually CONTAINED the id INT64_MIN (its insert left the slot
+// "empty", a later id could overwrite it, and lookups misattributed
+// rows with no error). Round-5 self-review finding.
+struct IdHash {
+    std::vector<int64_t> keys;
+    std::vector<int32_t> vals;
+    uint64_t mask;
+    explicit IdHash(const int64_t* ids, int64_t m) {
+        uint64_t cap = 16;
+        while (cap < static_cast<uint64_t>(2 * m)) cap <<= 1;
+        mask = cap - 1;
+        keys.assign(cap, 0);
+        vals.assign(cap, -1);  // -1 == empty (valid indices are >= 0)
+        for (int64_t r = 0; r < m; ++r) {
+            uint64_t h = mix(ids[r]);
+            while (vals[h &= mask] != -1) ++h;
+            keys[h] = ids[r];
+            vals[h] = static_cast<int32_t>(r);
+        }
+    }
+    static uint64_t mix(int64_t x) {
+        uint64_t z = static_cast<uint64_t>(x) + 0x9e3779b97f4a7c15ull;
+        z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+        z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+        return z ^ (z >> 31);
+    }
+    int32_t find(int64_t id) const {
+        uint64_t h = mix(id);
+        while (true) {
+            h &= mask;
+            if (vals[h] == -1) return -1;
+            if (keys[h] == id) return vals[h];
+            ++h;
+        }
+    }
+};
+
+// Map raw ids to dense indices; unknown ids map to -1. Three regimes
+// (round 5 — the old per-row binary search cost ~100 ns/id on 33k-item
 // vocabularies and dominated predict()'s host time):
+//  * tiny queries against big vocabularies (n << m): keep the binary
+//    search — building ANY O(m) structure would dwarf the n lookups
+//    (an interactive recommend([one_user]) against a 10M-id vocabulary
+//    must not allocate a 240 MB hash per call);
 //  * near-contiguous vocabularies (span <= 8x the id count): one direct
 //    int32 lookup table over the value range (~2 ns/row, L2-resident);
-//  * arbitrary (snowflake-scale) ids: open-addressing hash, power-of-two
-//    capacity at <= 50% load, splitmix64 finalizer (~10-15 ns/row).
+//  * arbitrary (snowflake-scale) ids: the IdHash above (~10-15 ns/row).
 // Output contract is unchanged: the index into the sorted-unique array.
-static inline uint64_t rfm_mix64(uint64_t x) {
-    x ^= x >> 33;
-    x *= 0xff51afd7ed558ccdULL;
-    x ^= x >> 33;
-    x *= 0xc4ceb9fe1a85ec53ULL;
-    x ^= x >> 33;
-    return x;
-}
-
 void rfm_map_ids(const int64_t* raw, int64_t n,
                  const int64_t* sorted_unique, int64_t m,
                  int32_t* out_idx) {
     if (m == 0) {
         std::fill(out_idx, out_idx + n, -1);
+        return;
+    }
+    if (n * 8 < m) {  // build cost ~m inserts vs n * log2(m) probes
+        const int64_t* lo = sorted_unique;
+        const int64_t* hi = sorted_unique + m;
+        for (int64_t r = 0; r < n; ++r) {
+            const int64_t* it = std::lower_bound(lo, hi, raw[r]);
+            out_idx[r] = (it != hi && *it == raw[r])
+                             ? static_cast<int32_t>(it - lo)
+                             : -1;
+        }
         return;
     }
     const int64_t lo_v = sorted_unique[0], hi_v = sorted_unique[m - 1];
@@ -76,29 +123,8 @@ void rfm_map_ids(const int64_t* raw, int64_t n,
         }
         return;
     }
-    uint64_t cap = 1;
-    while (cap < static_cast<uint64_t>(m) * 2) cap <<= 1;
-    std::vector<int64_t> keys(cap);
-    std::vector<int32_t> vals(cap, -1);  // -1 marks an empty slot
-    for (int64_t k = 0; k < m; ++k) {
-        uint64_t h = rfm_mix64(static_cast<uint64_t>(sorted_unique[k]))
-                     & (cap - 1);
-        while (vals[h] != -1) h = (h + 1) & (cap - 1);
-        keys[h] = sorted_unique[k];
-        vals[h] = static_cast<int32_t>(k);
-    }
-    for (int64_t r = 0; r < n; ++r) {
-        uint64_t h = rfm_mix64(static_cast<uint64_t>(raw[r])) & (cap - 1);
-        int32_t res = -1;
-        while (vals[h] != -1) {
-            if (keys[h] == raw[r]) {
-                res = vals[h];
-                break;
-            }
-            h = (h + 1) & (cap - 1);
-        }
-        out_idx[r] = res;
-    }
+    IdHash h(sorted_unique, m);
+    for (int64_t r = 0; r < n; ++r) out_idx[r] = h.find(raw[r]);
 }
 
 // Build the CSR user-history structure from mapped (user_idx, item_idx)
@@ -155,40 +181,6 @@ uint64_t rfm_hash_pairs(const int64_t* a, const int64_t* b, int64_t n) {
 
 // Open-addressing hash of a sorted-unique int64 id array -> dense index.
 // O(1) lookups beat per-row binary search ~5x on long id columns.
-struct IdHash {
-    std::vector<int64_t> keys;
-    std::vector<int32_t> vals;
-    uint64_t mask;
-    explicit IdHash(const int64_t* ids, int64_t m) {
-        uint64_t cap = 16;
-        while (cap < static_cast<uint64_t>(2 * m)) cap <<= 1;
-        mask = cap - 1;
-        keys.assign(cap, INT64_MIN);
-        vals.assign(cap, -1);
-        for (int64_t r = 0; r < m; ++r) {
-            uint64_t h = mix(ids[r]);
-            while (keys[h &= mask] != INT64_MIN) ++h;
-            keys[h] = ids[r];
-            vals[h] = static_cast<int32_t>(r);
-        }
-    }
-    static uint64_t mix(int64_t x) {
-        uint64_t z = static_cast<uint64_t>(x) + 0x9e3779b97f4a7c15ull;
-        z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
-        z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
-        return z ^ (z >> 31);
-    }
-    int32_t find(int64_t id) const {
-        uint64_t h = mix(id);
-        while (true) {
-            h &= mask;
-            if (keys[h] == id) return vals[h];
-            if (keys[h] == INT64_MIN) return -1;
-            ++h;
-        }
-    }
-};
-
 int64_t rfm_ingest(const int64_t* u_raw, const int64_t* i_raw, int64_t n,
                    const int64_t* uids, int64_t nu,
                    const int64_t* iids, int64_t ni,

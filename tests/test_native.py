@@ -61,6 +61,14 @@ def test_map_ids_both_lookup_regimes(lib):
     su3 = np.array([42], dtype=np.int64)
     raw3 = np.array([41, 42, 43], dtype=np.int64)
     np.testing.assert_array_equal(native.map_ids(raw3, su3), [-1, 0, -1])
+    # tiny query against a big vocabulary (n*8 < m): the binary-search
+    # fallback — building an O(m) structure per interactive
+    # recommend([one_user]) call would be the regression the round-5
+    # review flagged
+    raw5 = np.concatenate([rng.choice(su2, 10),
+                           [int(su2[0]) - 1]]).astype(np.int64)
+    np.testing.assert_array_equal(native.map_ids(raw5, su2),
+                                  oracle(raw5, su2))
     # vocabulary spanning (almost) the whole int64 range: hi - lo
     # overflows SIGNED arithmetic — must take the hash path, not a
     # wrapped-span table (and span==0 full wrap must not allocate a
@@ -106,6 +114,24 @@ def test_data_pipeline_native_vs_pandas_end_to_end(lib):
     # string sort order over equal-length numeric strings == numeric order here
     np.testing.assert_array_equal(pairs_native, pairs_pd)
     np.testing.assert_array_equal(keep_native, keep_pd)
+
+
+def test_ingest_vocabulary_containing_int64_min(lib):
+    """the fit-path IdHash used INT64_MIN as its empty-slot marker, so a
+    vocabulary CONTAINING that id was silently corrupted (its insert left
+    the slot looking empty; rows could map to the wrong user) — round-5
+    self-review. The marker is now vals==-1; pin the full native ingest
+    on such a vocabulary."""
+    lo = np.iinfo(np.int64).min
+    u = np.array([lo, lo, 5, 5, 9], dtype=np.int64)
+    i = np.array([1, 2, 1, 3, 2], dtype=np.int64)
+    uids, iids = np.unique(u), np.unique(i)
+    pairs, keep, offsets, items = native.ingest(u, i, uids, iids)
+    assert keep.all()
+    want = [[0, 0], [0, 1], [1, 0], [1, 2], [2, 1]]
+    np.testing.assert_array_equal(pairs, want)
+    # CSR row for user INT64_MIN (index 0) holds items {0, 1}
+    assert list(items[offsets[0]:offsets[1]]) == [0, 1]
 
 
 def test_uint64_ids_above_int63_do_not_wrap():

@@ -41,10 +41,10 @@ def test_ml1m_band_tpu_runs_fused_window_no_tail():
 
 
 def test_ml1m_band_gets_chunk_tail_at_parity_layout():
-    """round-5 default: the last ~25% of fused epochs re-run at the
-    oracle-parity layout (chunk128 @ UB256, SUB 8) — worst-seed -0.004 HR
-    at ~53x vs -0.009 at 55x without the tail (tools/probe_chunk_tail.py,
-    BENCHMARKS.md round-5 frontier sweep)"""
+    """round-5 default: the last max(1, epochs//6) fused epochs re-run
+    at the oracle-parity layout (chunk128 @ UB256, SUB 8) — worst-seed
+    -0.004 HR at ~54x vs -0.009 at 55x without the tail
+    (tools/probe_chunk_tail.py, BENCHMARKS.md round-5 frontier sweep)"""
     p = plan_fit(spec())
     assert p.chunk_tail == 3                   # 20 epochs -> 3-epoch tail
     assert (p.tail_chunk, p.tail_user_block, p.tail_sub) == (128, 256, 8)

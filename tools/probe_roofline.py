@@ -70,7 +70,9 @@ def chunk_flops(C, UB, BLK, NW, F=20, has_uf=False, has_if=False):
     return mm, useful
 
 
-def chunk_hbm_bytes(C, UB, BLK, NW, sub):
+def chunk_hbm_bytes(C, UB, BLK, NW):
+    """Per-chunk HBM reads (records + window-membership columns) —
+    identical for every SUB (sub-rounds re-schedule the same DMAs)."""
     LW = BLK // 16
     rec = 2 * C * 4                      # [C,2] int32 record block
     win = NW * UB * LW * 4               # membership columns per chunk
@@ -105,14 +107,13 @@ def main():
     C, UB = plan.chunk, plan.user_block
     BLK = fused.block_size(3706)
     NW = fused.default_n_windows(fused.item_pad(3706) // BLK)
-    n_chunk_rows = C  # valid+guard rows; use padded grid size for totals
     nb = -(-n // plan.batch_size)
     chunks_per_epoch = nb * (plan.batch_size // C)
 
     mm, useful = chunk_flops(C, UB, BLK, NW)
     per_chunk = sum(mm.values())
     total = per_chunk * chunks_per_epoch
-    hbm = chunk_hbm_bytes(C, UB, BLK, NW, 1) * chunks_per_epoch
+    hbm = chunk_hbm_bytes(C, UB, BLK, NW) * chunks_per_epoch
     t = times[1]
     print(f"\nchunk inventory (C={C} UB={UB} BLK={BLK} NW={NW}):")
     for k, v in mm.items():
