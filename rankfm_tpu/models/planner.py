@@ -316,16 +316,17 @@ def plan_fit(spec: FitSpec) -> FitPlan:
     # chunk-256 layout runs ~55x at -0.009: chunk-sharing correlation is
     # a LATE-training precision problem (the same mechanism as the
     # candidate tail above), so a short closing tail restores parity
-    # (-0.004 HR / -0.016 DCG worst-seed, tools/probe_chunk_tail.py) at
-    # ~53x. Gated off whenever another tail engine runs, on meshes (the
-    # DP record split doesn't re-deal mid-fit), with side features (the
-    # feature-block padding is layout-coupled), and under pre-computed
-    # shuffle layouts (built for the main layout only).
+    # (-0.004 HR / -0.012 DCG worst-seed, tools/probe_chunk_tail.py) at
+    # ~54x. Gated off whenever another tail engine runs, on meshes (the
+    # DP record split doesn't re-deal mid-fit), and under pre-computed
+    # shuffle layouts (built for the main layout only). Side features
+    # are IN (round 5): run_fused re-derives the user feature-block
+    # padding at the tail layout; featured oracle A/B in
+    # tools/probe_feature_tail.py.
     chunk_tail = 0
     tail_chunk = tail_ub = 0
     tail_sub = 1
     if (fused and n_tail == 0 and spec.mesh is None
-            and not (spec.x_uf_any or spec.x_if_any)
             and chunk > 128 and shuffle_layouts == 1 and spec.epochs >= 2):
         # ~1/6 of the epochs: tails of 3/4/5/10 at the 20-epoch headline
         # all measure inside the parity band (probe_chunk_tail runs with

@@ -592,29 +592,33 @@ class _FitRun:
         # layout's throughput. Planner guarantees n_ct=0 for feature/mesh/
         # pre-shuffled plans and whenever a wide/candidate tail runs.
         n_ct = plan.chunk_tail
-        assert not (n_ct and (pre_shuffled or has_feat or n_tail)), plan
+        assert not (n_ct and (pre_shuffled or n_tail)), plan
         _run_fused_epochs(epoch_fn, range(plan.n_main - n_ct))
         if n_ct:
             ub_t, chunk_t = plan.tail_user_block, plan.tail_chunk
             U_pad_t = fused_mod.user_pad(U, ub_t)
             # the two layouts pad the user table differently — re-extend
-            # the live tables at the tail padding (pure device ops)
+            # the live tables (and the lane-padded user feature blocks)
+            # at the tail padding (pure device ops)
             tw_i, tv_u, tv_i = fused_mod.extract_tables(
                 tab_u, tab_i, U, num_items, F)
             tab_u, tab_i = fused_mod.extend_tables(
                 tw_i, tv_u, tv_i, U_pad_t, I_pad, table_bf16)
+            if x_uf_any:
+                xuf_pad = fused_mod.pad_feature_cols(
+                    m._x_uf_dev, U_pad_t, table_bf16)
             win_cols = _win_cols_for(ub_t)
             rec_dev, group_dev, cids_dev, ublk_dev, iblk_dev = \
                 _layout_for(chunk_t, ub_t)
             tail_fn = fused_mod.make_fused_epoch_fn(
                 U, num_items, F, max_samples, bs, chunk=chunk_t,
-                table_bf16=table_bf16, has_uf=False, has_if=False,
+                table_bf16=table_bf16, has_uf=x_uf_any, has_if=x_if_any,
                 n_windows=nw_main, ub=ub_t, pre_shuffled=False,
                 sub=plan.tail_sub)
             tail_fn = aotcache.wrap(
                 tail_fn,
                 key_parts=(U, num_items, F, max_samples, bs, chunk_t,
-                           ub_t, table_bf16, False, False, nw_main,
+                           ub_t, table_bf16, x_uf_any, x_if_any, nw_main,
                            False, plan.tail_sub),
                 tag="fused_epoch")
             _run_fused_epochs(tail_fn,

@@ -56,9 +56,10 @@ def test_ml1m_band_gets_chunk_tail_at_parity_layout():
 
 
 def test_chunk_tail_gated_off_where_unsupported():
-    # side features: the feature-block padding is layout-coupled
-    assert plan_fit(spec(x_if_any=True)).chunk_tail == 0
-    assert plan_fit(spec(x_uf_any=True)).chunk_tail == 0
+    # side features ride along (run_fused re-pads the feature blocks at
+    # the tail layout; featured oracle A/B in tools/probe_feature_tail.py)
+    assert plan_fit(spec(x_if_any=True)).chunk_tail == 3
+    assert plan_fit(spec(x_uf_any=True)).chunk_tail == 3
     # another tail engine already runs (mixed schedule on big catalogs)
     big = plan_fit(spec(num_items=33_362, factors=50, max_samples=50,
                         epochs=30, nnz_hist=500_000))
